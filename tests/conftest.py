@@ -1,0 +1,15 @@
+"""Shared fixtures: one local SparkSession per test session."""
+
+from __future__ import annotations
+
+import pytest
+
+from orthority_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="orthority-spark-tests",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
