@@ -48,6 +48,10 @@ OUTSIDE_SHIFT_UDEG = 500_000  # +0.5 deg lon shift for the 'outside' 20%
 # ---------------------------------------------------------------------------
 N_SALT = 8             # salting factor for skewed mega-cells (SURVEY §4 O9)
 
+# ground plane z for footprints / projection queries (DEM fixture offset,
+# /root/reference/tests/conftest.py:45-50 — 825 m plane)
+DEM_Z = 825.0
+
 # ---------------------------------------------------------------------------
 # Checksum moduli (order-independent, overflow-safe under int64 sums)
 # ---------------------------------------------------------------------------

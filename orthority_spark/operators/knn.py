@@ -1,0 +1,84 @@
+"""kNN: k nearest footprints per page (SURVEY §2.3 kNN / §2.5 W4).
+
+Two strategies:
+
+- :func:`knn_bruteforce` — broadcast the (tiny) footprint-center catalog,
+  score every (page, footprint) pair map-side, take top-k per page with a
+  window. Right whenever the footprint catalog broadcasts; the cross
+  product never materialises a shuffle of the pages side — only the
+  window's partition-by-url exchange.
+- :func:`knn_kring` — the scale path for large catalogs: candidates come
+  from an equi-join of the page's cell k-ring against the footprint-cell
+  index, so each page only scores footprints in its neighborhood; falls
+  back to ring expansion radius ``k_ring`` (must be chosen >= catalog
+  spacing so that >= k true neighbors are inside the ring — verified
+  against brute force in tests).
+
+Determinism: rank orders by (dist_sq, filename) so equal distances break
+ties stably across engines and parallelism levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .. import config, grid
+
+
+def _dist_sq(cx: str = "cx", cy: str = "cy") -> Column:
+    return (F.col("px") - F.col(cx)) * (F.col("px") - F.col(cx)) + (
+        F.col("py") - F.col(cy)
+    ) * (F.col("py") - F.col(cy))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("url").orderBy(F.col("dist_sq"), F.col("filename"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def knn_bruteforce(pages_cells: DataFrame, summary: DataFrame, k: int = 3) -> DataFrame:
+    """Broadcast cross-score + window top-k."""
+    cand = pages_cells.select("url", "px", "py").join(
+        F.broadcast(summary.select("filename", "cx", "cy"))
+    )
+    return _topk(cand.withColumn("dist_sq", _dist_sq()), k)
+
+
+def knn_kring(
+    pages_cells: DataFrame,
+    footprint_cells: DataFrame,
+    summary: DataFrame,
+    k: int = 3,
+    ring: int = 8,
+) -> DataFrame:
+    """Cell k-ring candidate join + window top-k (the 10^12-page plan).
+
+    Ring expansion happens on the *footprint* side (tiny): each footprint
+    covering-cell is replicated to its k-ring, so the pages side joins on
+    its own cell with zero blow-up and no shuffle when the expanded index
+    still broadcasts.
+    """
+    expanded = (
+        footprint_cells.select("filename", "cell")
+        .withColumn("d", F.expr(f"explode(sequence(-{ring}, {ring}))"))
+        .withColumn("d2", F.expr(f"explode(sequence(-{ring}, {ring}))"))
+        .select(
+            "filename",
+            (
+                F.col("cell")
+                + F.col("d") * F.lit(grid.IX_FACTOR)
+                + F.col("d2")
+            ).alias("cell"),
+        )
+        .distinct()
+    )
+    cand = (
+        pages_cells.select("url", "px", "py", "cell")
+        .join(F.broadcast(expanded), "cell")
+        .join(F.broadcast(summary.select("filename", "cx", "cy")), "filename")
+        .select("url", "px", "py", "filename", "cx", "cy")
+        .distinct()
+    )
+    return _topk(cand.withColumn("dist_sq", _dist_sq()), k)

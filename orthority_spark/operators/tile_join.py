@@ -44,9 +44,11 @@ def world_xy(lat: Column, lon: Column) -> tuple[Column, Column]:
 
 def world_xy_sql(lat: str, lon: str) -> tuple[str, str]:
     """The identical arithmetic as SQL text (DuckDB oracle)."""
+    from ..oracle import dlit
+
     return (
-        f"(({lon}) - {config.LON0!r}) * {config.M_PER_DEG!r}",
-        f"(({lat}) - {config.LAT0!r}) * {config.M_PER_DEG!r}",
+        f"(({lon}) - {dlit(config.LON0)}) * {dlit(config.M_PER_DEG)}",
+        f"(({lat}) - {dlit(config.LAT0)}) * {dlit(config.M_PER_DEG)}",
     )
 
 
@@ -95,11 +97,12 @@ def _pip_filter(candidates: DataFrame, keep: list[str]) -> DataFrame:
     )
 
 
-def pip_crossing_sql(px: str, py: str) -> str:
-    """Oracle SQL for one edge-crossing flag (same arithmetic order)."""
+def pip_crossing_sql(px: str, py: str, e: str = "") -> str:
+    """Oracle SQL for one edge-crossing flag (same arithmetic order);
+    ``e`` prefixes the edge columns (e.g. 'e.')."""
     return (
-        f"CASE WHEN ((y1 > {py}) != (y2 > {py})) "
-        f"AND ({px} < x1 + (x2 - x1) * ({py} - y1) / (y2 - y1)) "
+        f"CASE WHEN (({e}y1 > {py}) != ({e}y2 > {py})) "
+        f"AND ({px} < {e}x1 + ({e}x2 - {e}x1) * ({py} - {e}y1) / ({e}y2 - {e}y1)) "
         f"THEN 1 ELSE 0 END"
     )
 
@@ -204,4 +207,6 @@ def pip_join_arrow(
                 inside[sel] = hit
             yield pdf[inside]
 
-    return cand.mapInPandas(pip_batches, schema=out_schema)
+    return cand.mapInPandas(pip_batches, schema=out_schema).select(
+        "url", "filename", *keep
+    )

@@ -1,0 +1,325 @@
+"""Geospatial driver-gate queries (pages derived from testdata `orders`).
+
+Each query ships as a (spark_fn, oracle_sql) pair. The Spark side runs the
+real engine operators (grid, tile_join, knn, geom pandas UDFs); the oracle
+is DuckDB SQL generated from the SAME canonical arithmetic fragments
+(sources/pages.derived_pages_sql, grid.cell_sql, tile_join.world_xy_sql),
+so the driver's row-hash comparison checks bit-level agreement.
+
+Pages are derived deterministically from orders.o_orderkey — the sandbox
+stand-in for the 10^12-row Iceberg pages scan; geometry still flows
+through the extracted-text geotag (regexp parse), exactly like production.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import config, grid
+from .functions import checksum
+from .functions.geotag import with_geotag
+from .operators import tile_join
+from .operators.knn import knn_bruteforce
+from .sources import footprints as fp
+from .oracle import dlit
+from .sources.pages import derived_pages_sql
+
+GEO_RE_SQL = r"'geo:(-?\d+),(-?\d+)'"
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def derived_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spec = derived_pages_sql("o_orderkey", "spark")
+    return orders.select(
+        F.expr(spec["url"]).alias("url"),
+        F.expr(spec["text"]).alias("text"),
+        F.expr(spec["lang"]).alias("lang"),
+    )
+
+
+def pages_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages + parsed lat/lon + world px/py + cell (the engine scan stage)."""
+    return tile_join.assign_cells(
+        with_geotag(derived_pages(spark, sf_dir), token="udeg")
+    )
+
+
+def pages_cte() -> str:
+    """DuckDB CTE chain mirroring :func:`pages_cells` bit-for-bit."""
+    spec = derived_pages_sql("o_orderkey", "duckdb")
+    px, py = tile_join.world_xy_sql("lat", "lon")
+    cell = grid.cell_sql("lat", "lon", config.GRID_RES)
+    return f"""
+WITH pages AS (
+  SELECT {spec['url']} AS url, {spec['text']} AS text, {spec['lang']} AS lang
+  FROM orders
+), geo AS (
+  SELECT url, text, lang,
+         CAST(regexp_extract(text, {GEO_RE_SQL}, 1) AS BIGINT) AS lat_udeg,
+         CAST(regexp_extract(text, {GEO_RE_SQL}, 2) AS BIGINT) AS lon_udeg
+  FROM pages
+), pts AS (
+  SELECT url, text, lang,
+         CAST(lat_udeg AS DOUBLE) / 1000000.0 AS lat,
+         CAST(lon_udeg AS DOUBLE) / 1000000.0 AS lon
+  FROM geo
+), cells AS (
+  SELECT *, {px} AS px, {py} AS py, {cell} AS cell FROM pts
+)"""
+
+
+def _edges_values() -> str:
+    """Footprint edges as a VALUES CTE (driver-side literals, exact repr)."""
+    rows = ", ".join(
+        f"('{n}', {dlit(x1)}, {dlit(y1)}, {dlit(x2)}, {dlit(y2)})"
+        for n, x1, y1, x2, y2 in fp.footprint_records()["edges"]
+    )
+    return f"edges(filename, x1, y1, x2, y2) AS (VALUES {rows})"
+
+
+def _centers_values() -> str:
+    rows = ", ".join(
+        f"('{s[0]}', {dlit(s[6])}, {dlit(s[7])})" for s in fp.footprint_records()["summary"]
+    )
+    return f"centers(filename, cx, cy) AS (VALUES {rows})"
+
+
+def _pip_oracle(select: str = "url, filename", extra: str = "") -> str:
+    cross = tile_join.pip_crossing_sql("c.px", "c.py", e="e.")
+    return f"""{pages_cte()},
+{_edges_values()},
+votes AS (
+  SELECT c.url, e.filename{extra},
+         SUM({cross}) AS n
+  FROM cells c, edges e
+  GROUP BY ALL
+)
+SELECT {select} FROM votes WHERE n % 2 = 1"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_geotag_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/EXIF analogue: regexp geotag extraction from page text."""
+    return pages_cells(spark, sf_dir).select("url", "lat", "lon")
+
+
+def o_geotag_extract() -> str:
+    return f"{pages_cte()} SELECT url, lat, lon FROM cells"
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style tile assignment (the north-rule core primitive)."""
+    return pages_cells(spark, sf_dir).select("url", "cell")
+
+
+def o_cell_assign() -> str:
+    return f"{pages_cte()} SELECT url, cell FROM cells"
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile page counts (W1 block iteration analogue)."""
+    return (
+        pages_cells(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def o_tile_counts() -> str:
+    return f"{pages_cte()} SELECT cell, COUNT(*) AS n_pages FROM cells GROUP BY cell"
+
+
+def q_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-tile checksums over (url, lang) — the per-band
+    remap-equivalence recast (BASELINE.json:6)."""
+    pc = pages_cells(spark, sf_dir)
+    return checksum.tile_checksum(
+        pc, ["cell"], checksum.row_hash(F.col("url"), F.col("lang"))
+    )
+
+
+def o_tile_checksums() -> str:
+    h = checksum.row_hash_sql(["url", "lang"])
+    return (
+        f"{pages_cte()} SELECT cell, COUNT(*) AS n_rows, SUM({h}) AS checksum "
+        f"FROM cells GROUP BY cell"
+    )
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: broadcast cell-prefilter + inline exact PIP join (J3)."""
+    recs = fp.footprint_records()
+    return tile_join.pip_join_broadcast(
+        pages_cells(spark, sf_dir),
+        fp.footprint_cells_df(spark, recs),
+        fp.footprint_edges_df(spark, recs),
+    )
+
+
+def o_pip_join() -> str:
+    return _pip_oracle()
+
+
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows via the explicit-salting shuffle path (skew, SURVEY §4 O9)."""
+    recs = fp.footprint_records()
+    return tile_join.pip_join_salted(
+        pages_cells(spark, sf_dir),
+        fp.footprint_cells_df(spark, recs),
+        fp.footprint_edges_df(spark, recs),
+    )
+
+
+def o_pip_join_salted() -> str:
+    return _pip_oracle()
+
+
+def q_pip_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows via the vectorized Arrow pandas-UDF ray-caster
+    (BASELINE.json:15 mandated path)."""
+    recs = fp.footprint_records()
+    return tile_join.pip_join_arrow(
+        pages_cells(spark, sf_dir),
+        fp.footprint_cells_df(spark, recs),
+        recs["polygons"],
+    )
+
+
+def o_pip_join_arrow() -> str:
+    return _pip_oracle()
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest footprints per page (window top-k over candidates)."""
+    return knn_bruteforce(
+        pages_cells(spark, sf_dir),
+        fp.footprint_summary_df(spark),
+        k=3,
+    ).select("url", "rank", "filename")
+
+
+def o_knn() -> str:
+    return f"""{pages_cte()},
+{_centers_values()},
+dists AS (
+  SELECT c.url, f.filename,
+         (c.px - f.cx) * (c.px - f.cx) + (c.py - f.cy) * (c.py - f.cy) AS dist_sq
+  FROM cells c, centers f
+), ranked AS (
+  SELECT url, filename,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist_sq, filename) AS rank
+  FROM dists
+)
+SELECT url, CAST(rank AS INT) AS rank, filename FROM ranked WHERE rank <= 3"""
+
+
+def q_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview pyramid (S17 -> rollup): page counts at three resolutions."""
+    pc = pages_cells(spark, sf_dir)
+    parts = [
+        pc.select(
+            F.lit(res).alias("res"),
+            grid.cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+        )
+        .groupBy("res", "cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        for res in config.ROLLUP_RESES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def o_rollup_pyramid() -> str:
+    selects = [
+        f"SELECT {res} AS res, {grid.cell_sql('lat', 'lon', res)} AS cell, "
+        f"COUNT(*) AS n_pages FROM cells GROUP BY ALL"
+        for res in config.ROLLUP_RESES
+    ]
+    return f"{pages_cte()} " + " UNION ALL ".join(selects)
+
+
+def q_world_to_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-camera world->pixel projection (P1) as an Arrow pandas UDF.
+
+    Projects every page's world point into img_0000's pinhole camera; the
+    oracle unrolls the identical R^T(x-T) matmul + K as SQL arithmetic.
+    """
+    import pandas as pd
+
+    m = fp.fixture_models()["img_0000"]
+    R, T, K = m.R, m.T, m.K
+
+    def project(batches):
+        for pdf in batches:
+            x = pdf["px"].to_numpy(dtype="float64") - T[0, 0]
+            y = pdf["py"].to_numpy(dtype="float64") - T[1, 0]
+            z = np.float64(config.DEM_Z) - T[2, 0]
+            # explicit left-to-right expressions — same rounding as SQL twin
+            cx = R[0, 0] * x + R[1, 0] * y + R[2, 0] * z
+            cy = R[0, 1] * x + R[1, 1] * y + R[2, 1] * z
+            cz = R[0, 2] * x + R[1, 2] * y + R[2, 2] * z
+            j = K[0, 0] * (cx / cz) + K[0, 2]
+            i = K[1, 1] * (cy / cz) + K[1, 2]
+            yield pd.DataFrame({"url": pdf["url"], "j": j, "i": i})
+
+    pc = pages_cells(spark, sf_dir).select("url", "px", "py")
+    return pc.mapInPandas(project, schema="url string, j double, i double")
+
+
+def o_world_to_pixel() -> str:
+    m = fp.fixture_models()["img_0000"]
+    R, T, K = m.R, m.T, m.K
+    x = f"(px - {dlit(T[0, 0])})"
+    y = f"(py - {dlit(T[1, 0])})"
+    z = f"({dlit(config.DEM_Z)} - {dlit(T[2, 0])})"
+    cx = f"({dlit(R[0, 0])} * {x} + {dlit(R[1, 0])} * {y} + {dlit(R[2, 0])} * {z})"
+    cy = f"({dlit(R[0, 1])} * {x} + {dlit(R[1, 1])} * {y} + {dlit(R[2, 1])} * {z})"
+    cz = f"({dlit(R[0, 2])} * {x} + {dlit(R[1, 2])} * {y} + {dlit(R[2, 2])} * {z})"
+    j = f"{dlit(K[0, 0])} * ({cx} / {cz}) + {dlit(K[0, 2])}"
+    i = f"{dlit(K[1, 1])} * ({cy} / {cz}) + {dlit(K[1, 2])}"
+    return f"{pages_cte()} SELECT url, {j} AS j, {i} AS i FROM cells"
+
+
+def q_footprint_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ortho-bounds catalog (A2/GSD + bbox) — driver-side geometry surfaced
+    as a queryable table."""
+    return fp.footprint_summary_df(spark).select(
+        "filename", "cam_type", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
+def o_footprint_bounds() -> str:
+    rows = ", ".join(
+        f"('{s[0]}', '{s[1]}', {dlit(s[2])}, {dlit(s[3])}, {dlit(s[4])}, {dlit(s[5])})"
+        for s in fp.footprint_records()["summary"]
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(filename, cam_type, xmin, ymin, xmax, ymax)"
+    )
+
+
+QUERIES = {
+    "geotag_extract": (q_geotag_extract, o_geotag_extract),
+    "cell_assign": (q_cell_assign, o_cell_assign),
+    "tile_counts": (q_tile_counts, o_tile_counts),
+    "tile_checksums": (q_tile_checksums, o_tile_checksums),
+    "pip_join": (q_pip_join, o_pip_join),
+    "pip_join_salted": (q_pip_join_salted, o_pip_join_salted),
+    "pip_join_arrow": (q_pip_join_arrow, o_pip_join_arrow),
+    "knn": (q_knn, o_knn),
+    "rollup_pyramid": (q_rollup_pyramid, o_rollup_pyramid),
+    "world_to_pixel": (q_world_to_pixel, o_world_to_pixel),
+    "footprint_bounds": (q_footprint_bounds, o_footprint_bounds),
+}
