@@ -28,7 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from orthority_spark.functions import checksum
+    from orthority_spark.pyfiles import ensure_on_executors
     from orthority_spark.queries_geo import pages_cells, q_pip_join
+
+    ensure_on_executors(spark)
 
     sf_dir = "/root/testdata/sf0.001"
     joined = q_pip_join(spark, sf_dir)

@@ -1,0 +1,48 @@
+"""Package distribution to executors (the spark-submit --py-files story).
+
+UDF closures (mapInPandas / applyInPandas kernels) are cloudpickled by
+module reference, so executors must be able to ``import orthority_spark``.
+On a real cluster that is ``spark-submit --py-files orthority_spark.zip``;
+for driver-embedded use (the sandbox driver, notebooks) we build the same
+zip on demand and register it with ``SparkContext.addPyFile`` — identical
+distribution mechanics, no reliance on the driver's working directory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_SENTINEL = "_orthority_spark_pyfile_added"
+
+
+def package_zip(out_path: str | None = None) -> str:
+    """Zip the orthority_spark package (idempotent, content-addressed by
+    mtime-free rebuild per process)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out_path = out_path or os.path.join(
+        tempfile.gettempdir(), f"orthority_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(out_path):
+        with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "orthority_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    return out_path
+
+
+def ensure_on_executors(spark) -> None:
+    """addPyFile the package zip once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, _SENTINEL, False):
+        return
+    sc.addPyFile(package_zip())
+    setattr(sc, _SENTINEL, True)

@@ -149,7 +149,7 @@ def q_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_tile_checksums() -> str:
     h = checksum.row_hash_sql(["url", "lang"])
     return (
-        f"{pages_cte()} SELECT cell, COUNT(*) AS n_rows, SUM({h}) AS checksum "
+        f"{pages_cte()} SELECT cell, COUNT(*) AS n_rows, CAST(SUM({h}) AS BIGINT) AS checksum "
         f"FROM cells GROUP BY cell"
     )
 

@@ -1,0 +1,410 @@
+"""Text-analysis + deduplication driver-gate queries over `documents`.
+
+The training-data-pipeline operator family (task brief): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, language/quality/token
+statistics, document fingerprinting. Everything is expressed with JVM-side
+built-ins (split/explode/md5/conv + relational ops) — no Python in any hot
+path — and every query has a DuckDB oracle sharing the same arithmetic
+(md5-prefix hashes are bit-identical across engines, see functions/checksum).
+
+Scale notes (the 100 TB story):
+- tokenisation/shingling is a generated-column explode in the scan stage;
+- MinHash signatures are one groupBy(doc, perm) partial-aggregated min —
+  map-side combine collapses each partition to |perms| rows per doc;
+- LSH banding turns near-dup search from O(n^2) into an equi-join on
+  (band, band_sig) — the only pairwise work is within buckets;
+- the exact-Jaccard verifier joins only LSH candidates at scale; the
+  all-pairs oracle here is for the small driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import config
+
+P31 = 2147483647  # Mersenne prime 2^31-1: perm-hash modulus
+N_PERMS = 8
+PERMS = [(p, 1000003 + p * 101, 12345 + p * 7919) for p in range(N_PERMS)]
+JACCARD_TAU = 0.8
+STOPWORDS = ["a", "the", "of", "and", "to", "in"]
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared token / shingle / hash fragments
+# ---------------------------------------------------------------------------
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, token) distinct unigrams."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+_TOKENS_CTE = """
+WITH tokens AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+)"""
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, sh) distinct word-3-gram shingles."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3), "
+                    "i -> concat_ws(' ', split(text, ' ')[i], "
+                    "split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, l[p] || ' ' || l[p+1] || ' ' || l[p+2] AS sh
+  FROM (
+    SELECT doc_id, l, generate_subscripts(l, 1) AS p
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  ) WHERE p <= len(l) - 2
+)"""
+
+
+def _h31(col_sql_spark: str) -> str:
+    """Spark SQL: 31-bit md5-prefix hash of a string column."""
+    return (
+        f"CAST(conv(substring(md5({col_sql_spark}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {P31}"
+    )
+
+
+def _h31_duck(col: str) -> str:
+    return f"(('0x' || substr(md5({col}), 1, 15))::BIGINT % {P31})"
+
+
+_PERMS_VALUES = (
+    "perms(perm, a, b) AS (VALUES "
+    + ", ".join(f"({p}, {a}, {b})" for p, a, b in PERMS)
+    + ")"
+)
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, perm, sig): min over shingles of (a*h31+b) % P31."""
+    perms = spark.createDataFrame(PERMS, "perm int, a long, b long")
+    sh = _shingles(spark, sf_dir).withColumn("h", F.expr(_h31("sh")))
+    return (
+        sh.join(F.broadcast(perms))
+        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(P31))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("ph").alias("sig"))
+    )
+
+
+def _minhash_cte() -> str:
+    return f"""{_SHINGLES_CTE},
+{_PERMS_VALUES},
+hashes AS (SELECT doc_id, {_h31_duck('sh')} AS h FROM shingles),
+sigs AS (
+  SELECT doc_id, perm, MIN((a * h + b) % {P31}) AS sig
+  FROM hashes, perms GROUP BY doc_id, perm
+)"""
+
+
+def _band_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, band, band_sig): bands of 2 perms, arithmetic band key."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    return (
+        sigs.withColumn("band", F.expr("perm DIV 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.sum(
+                F.when(F.col("perm") % 2 == 0, F.col("sig") * F.lit(P31)).otherwise(
+                    F.col("sig")
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def _band_cte() -> str:
+    return f"""{_minhash_cte()},
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         SUM(CASE WHEN perm % 2 = 0 THEN sig * {P31} ELSE sig END) AS band_sig
+  FROM sigs GROUP BY doc_id, perm // 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def o_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS n_dupes FROM documents GROUP BY md5(text)"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word-3-gram shingles (8 permutations)."""
+    return _minhash_sigs(spark, sf_dir)
+
+
+def o_minhash_signatures() -> str:
+    return f"{_minhash_cte()} SELECT doc_id, perm, sig FROM sigs"
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: candidate near-dup pairs sharing any band signature."""
+    b = _band_sigs(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def o_lsh_candidates() -> str:
+    return f"""{_band_cte()}
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.band_sig = c.band_sig AND a.doc_id < c.doc_id"""
+
+
+def q_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (>= tau) — the verifier stage
+    of the MinHash pipeline, run all-pairs at gate scale."""
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def o_jaccard_neardups() -> str:
+    return f"""{_SHINGLES_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       common / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+FROM common JOIN counts na ON doc_a = na.doc_id
+            JOIN counts nb ON doc_b = nb.doc_id
+WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_TAU}"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from unigram token hashes."""
+    bits = spark.createDataFrame(
+        [(b, 2**b) for b in range(16)], "bit int, pw long"
+    )
+    t = _tokens(spark, sf_dir).withColumn("h", F.expr(_h31("token")))
+    return (
+        t.join(F.broadcast(bits))
+        .withColumn("bv", F.expr("CASE WHEN (h DIV pw) % 2 = 1 THEN 1 ELSE -1 END"))
+        .groupBy("doc_id", "bit", "pw")
+        .agg(F.sum("bv").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.col("pw")).otherwise(F.lit(0))).alias(
+                "simhash"
+            )
+        )
+    )
+
+
+def o_simhash() -> str:
+    bits = ", ".join(f"({b}, {2**b})" for b in range(16))
+    return f"""{_TOKENS_CTE},
+bits(bit, pw) AS (VALUES {bits}),
+th AS (SELECT doc_id, {_h31_duck('token')} AS h FROM tokens),
+bitsum AS (
+  SELECT doc_id, bit, pw,
+         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, bits GROUP BY doc_id, bit, pw
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char statistics (quality-scoring inputs)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_obs"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).alias(
+            "n_vowels"
+        ),
+    )
+
+
+def o_text_stats() -> str:
+    return """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       length(text) AS n_chars_obs,
+       length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels
+FROM documents"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword ratio + distinct-token ratio."""
+    t = _tokens(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    stops = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .withColumn("is_stop", F.col("tok").isin(STOPWORDS).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("is_stop").alias("n_stop"),
+        )
+    )
+    return stops.select(
+        "doc_id",
+        "n_tok",
+        "n_stop",
+        (F.col("n_stop") / F.col("n_tok").cast("double")).alias("stop_ratio"),
+    )
+
+
+def o_quality_score() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS stop_ratio
+FROM toks GROUP BY doc_id"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (letters / digits / punct classes)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)")).alias("n_bpe"),
+    )
+
+
+def o_token_count_bpe() -> str:
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe "
+        "FROM documents"
+    )
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (A8-style aggregate)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.sum("n_chars") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+        )
+    )
+
+
+def o_lang_profile() -> str:
+    return (
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "SUM(n_chars) / CAST(COUNT(*) AS DOUBLE) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalisation fingerprint: md5 of lowercased whitespace-collapsed
+    text (rolling-hash analogue, cross-engine exact)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), " +", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def o_doc_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) "
+        "AS fingerprint FROM documents"
+    )
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, o_dedup_exact),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "lsh_candidates": (q_lsh_candidates, o_lsh_candidates),
+    "jaccard_neardups": (q_jaccard_neardups, o_jaccard_neardups),
+    "simhash": (q_simhash, o_simhash),
+    "text_stats": (q_text_stats, o_text_stats),
+    "quality_score": (q_quality_score, o_quality_score),
+    "token_count_bpe": (q_token_count_bpe, o_token_count_bpe),
+    "lang_profile": (q_lang_profile, o_lang_profile),
+    "doc_fingerprint": (q_doc_fingerprint, o_doc_fingerprint),
+}

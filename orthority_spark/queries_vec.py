@@ -1,0 +1,211 @@
+"""Vector similarity-search driver-gate queries over `embeddings`.
+
+ANN over an array<float> embedding column (task-brief similarity-search
+family): brute-force cosine top-k as the correctness baseline, an
+LSH/IVF-style bucketing as the scale path, and embedding-cosine near-dup
+pairs for dedup.
+
+Cross-engine exactness: embeddings are quantised to integers
+(floor(x * 1e6)), so dot products and norms are EXACT int64 sums —
+order-independent and bit-identical between Spark's zip_with/aggregate
+fold and DuckDB's unnest-join SUM. Cosine = dot / (sqrt(na) * sqrt(nb))
+is then a fixed op sequence on identical integers -> identical doubles.
+
+Scale: brute-force is O(Q x N) with the query set broadcast — right for
+small Q; the LSH path buckets once (map-side, no shuffle) and restricts
+scoring to same-bucket pairs. Top-k uses a per-query window (the only
+shuffle, keyed by query id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+N_QUERIES = 10   # vec_id < 10 are the query vectors
+TOP_K = 5
+NEARDUP_TAU = 0.35
+
+_QUANT = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+_QUANT_DUCK = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+_DUCK_UNNEST = f"""
+q AS (SELECT vec_id, label, {_QUANT_DUCK} AS qe FROM embeddings),
+u AS (SELECT vec_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS v FROM q),
+norms AS (SELECT vec_id, SUM(v * v) AS nn FROM u GROUP BY vec_id)"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(_QUANT).alias("qe"),
+    ).withColumn(
+        "nn", F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    )
+
+
+_DOT = "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query set broadcast against all vectors."""
+    qz = _quantized(spark, sf_dir)
+    queries = qz.where(F.col("vec_id") < N_QUERIES).alias("a")
+    corpus = qz.alias("b")
+    scored = (
+        corpus.join(F.broadcast(queries), F.expr("a.vec_id != b.vec_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def o_ann_topk() -> str:
+    return f"""
+WITH {_DUCK_UNNEST},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+  FROM dots JOIN norms na ON query_id = na.vec_id
+            JOIN norms nb ON neighbor_id = nb.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# two fixed +/-1 hyperplanes (deterministic, index-pattern based)
+_H1 = "CASE WHEN (i - 1) % 2 = 0 THEN v ELSE -v END"
+_H2 = "CASE WHEN (i - 1) % 3 = 0 THEN v ELSE -v END"
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH/IVF bucketing: 2 sign-hash bits from fixed +/-1 hyperplanes.
+
+    Map-side only (no shuffle): bucket = 2*(dot_h1 > 0) + (dot_h2 > 0).
+    The scale path restricts ANN scoring to same-bucket candidates.
+    """
+    qz = _quantized(spark, sf_dir)
+    d1 = (
+        "aggregate(zip_with(qe, sequence(1, size(qe)), "
+        "(v, i) -> CASE WHEN (i - 1) % 2 = 0 THEN v ELSE -v END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2 = (
+        "aggregate(zip_with(qe, sequence(1, size(qe)), "
+        "(v, i) -> CASE WHEN (i - 1) % 3 = 0 THEN v ELSE -v END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return qz.select(
+        "vec_id",
+        (
+            F.when(F.expr(d1) > 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.expr(d2) > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("int").alias("bucket"),
+    )
+
+
+def o_ann_lsh_buckets() -> str:
+    return f"""
+WITH {_DUCK_UNNEST},
+proj AS (
+  SELECT vec_id, SUM({_H1}) AS d1, SUM({_H2}) AS d2 FROM u GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST((CASE WHEN d1 > 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+FROM proj"""
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family, cosine >= tau)."""
+    qz = _quantized(spark, sf_dir)
+    a, b = qz.alias("a"), qz.alias("b")
+    return (
+        a.join(b, F.expr("a.vec_id < b.vec_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
+        )
+        .where(F.col("cosine") >= NEARDUP_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+def o_embedding_neardups() -> str:
+    return f"""
+WITH {_DUCK_UNNEST},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT vec_a, vec_b,
+         dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+  FROM dots JOIN norms na ON vec_a = na.vec_id
+            JOIN norms nb ON vec_b = nb.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_TAU}"""
+
+
+def q_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quantised centroid sums (IVF coarse-quantiser training
+    analogue — exact integer partial sums, order-independent)."""
+    qz = _quantized(spark, sf_dir)
+    return (
+        qz.select("label", F.posexplode("qe").alias("i", "v"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("v").alias("sum_v"),
+            F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+        )
+    )
+
+
+def o_label_centroid_norms() -> str:
+    return f"""
+WITH q AS (SELECT vec_id, label, {_QUANT_DUCK} AS qe FROM embeddings),
+u AS (SELECT vec_id, label, unnest(qe) AS v FROM q)
+SELECT label, COUNT(*) AS n_components, CAST(SUM(v) AS BIGINT) AS sum_v, CAST(SUM(v * v) AS BIGINT) AS sum_v2
+FROM u GROUP BY label"""
+
+
+QUERIES = {
+    "ann_topk": (q_ann_topk, o_ann_topk),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
+    "embedding_neardups": (q_embedding_neardups, o_embedding_neardups),
+    "label_centroid_norms": (q_label_centroid_norms, o_label_centroid_norms),
+}

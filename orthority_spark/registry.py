@@ -26,8 +26,21 @@ def all_queries() -> dict:
     return merged
 
 
+def _wrap(fn: Callable) -> Callable:
+    """Ship the package zip to executors before running (the --py-files
+    mechanism; UDF closures import orthority_spark on workers)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .pyfiles import ensure_on_executors
+
+        ensure_on_executors(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in all_queries().items()}
+    return {name: _wrap(fn) for name, (fn, _) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
