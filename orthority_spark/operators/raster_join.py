@@ -1,0 +1,165 @@
+"""Raster <-> vector joins: bbox range join, two-phase window pruning,
+coverage stats, per-point z sampling.
+
+Re-expresses the reference's DEM machinery (SURVEY §2.3 J2, §4 O1/O2,
+§2.4 A3/A4):
+
+- J2: footprint bbox x DEM-tile bbox interval-overlap join; empty result
+  for any footprint is the reference's "lies outside the DEM" error
+  (/root/reference/orthority/ortho.py:154-190).
+- O1: two-phase pruning — phase 1 intersects at a worst-case z range
+  (EGM min/max -106.71..82.28 + Everest 8850, ortho.py:80-83), phase 2
+  re-prunes with the ACTUAL z min/max aggregated from phase-1 tiles
+  (ortho.py:180-190). On Iceberg, phase 2 is what file-level min/max
+  stats give for free; here it is one cheap agg + refined join.
+- A3/A4: DEM min/max/coverage aggregates; full-nodata -> error,
+  partial coverage -> warning flag (ortho.py:318-329).
+- z-sampling: per-point bilinear DEM lookup inside the owning tile
+  (Arrow kernel) — the J6 gather against the raster side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+class OutsideDemError(ValueError):
+    """A footprint does not intersect the DEM (ortho.py:170 semantics)."""
+
+
+def _tile_bounds(dem: DataFrame) -> DataFrame:
+    """DEM tile table + world bbox columns from transform + offsets."""
+    a = F.element_at("transform", 1)
+    c = F.element_at("transform", 3)
+    e = F.element_at("transform", 5)
+    f0 = F.element_at("transform", 6)
+    x0 = c + a * F.col("col_off")
+    x1 = c + a * (F.col("col_off") + F.col("width"))
+    yt = f0 + e * F.col("row_off")
+    yb = f0 + e * (F.col("row_off") + F.col("height"))
+    return (
+        dem.withColumn("txmin", F.least(x0, x1))
+        .withColumn("txmax", F.greatest(x0, x1))
+        .withColumn("tymin", F.least(yt, yb))
+        .withColumn("tymax", F.greatest(yt, yb))
+    )
+
+
+def bbox_range_join(footprints: DataFrame, dem: DataFrame) -> DataFrame:
+    """Interval-overlap theta-join: footprint bbox x DEM tile bbox.
+
+    The footprint side is tiny -> broadcast, so the range predicate is
+    evaluated map-side over the DEM scan (no shuffle; with Iceberg the
+    bbox predicate also prunes files via min/max column stats)."""
+    d = _tile_bounds(dem)
+    cond = (
+        (F.col("xmin") <= F.col("txmax"))
+        & (F.col("xmax") >= F.col("txmin"))
+        & (F.col("ymin") <= F.col("tymax"))
+        & (F.col("ymax") >= F.col("tymin"))
+    )
+    return d.join(F.broadcast(footprints), cond)
+
+
+def check_dem_coverage(footprints: DataFrame, dem: DataFrame) -> DataFrame:
+    """Per-footprint DEM intersection stats; raises OutsideDemError if any
+    footprint has no intersecting tile (J2 error semantics)."""
+    joined = bbox_range_join(footprints, dem.where(F.col("band") == 1))
+    stats = joined.groupBy("filename").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(
+            F.expr("aggregate(block, 0L, (acc, v) -> acc + CAST(isnotnull(v) AND NOT isnan(v) AS LONG))")
+        ).alias("n_valid_cells"),
+        F.sum(F.size("block")).alias("n_cells"),
+    )
+    missing = footprints.join(
+        stats.select("filename"), "filename", "left_anti"
+    ).collect()
+    if missing:
+        raise OutsideDemError(
+            f"footprints outside DEM: {[r.filename for r in missing]}"
+        )
+    return stats.withColumn(
+        "full_coverage", F.col("n_valid_cells") == F.col("n_cells")
+    )
+
+
+# worst-case z range: EGM96 min/max + Everest (ortho.py:80-83)
+EGM_MIN, EGM_MAX, EVEREST = -106.71, 82.28, 8850.0
+
+
+def two_phase_prune(
+    footprints_at_z,  # callable: (z_min, z_max) -> footprint bbox DataFrame
+    dem: DataFrame,
+) -> tuple[DataFrame, float, float]:
+    """O1: prune DEM tiles at worst-case z, aggregate actual z min/max
+    from survivors, re-prune at the refined bounds. Returns
+    (pruned tiles, z_min, z_max)."""
+    coarse_fp = footprints_at_z(EGM_MIN, EGM_MAX + EVEREST)
+    phase1 = bbox_range_join(coarse_fp, dem.where(F.col("band") == 1))
+    zr = phase1.agg(
+        F.min(F.expr("array_min(filter(block, v -> NOT isnan(v)))")).alias("zmin"),
+        F.max(F.expr("array_max(filter(block, v -> NOT isnan(v)))")).alias("zmax"),
+    ).collect()[0]
+    z_min, z_max = float(zr.zmin), float(zr.zmax)
+    fine_fp = footprints_at_z(z_min, z_max)
+    phase2 = bbox_range_join(fine_fp, dem.where(F.col("band") == 1))
+    return phase2, z_min, z_max
+
+
+def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
+    """Per-point bilinear z sample from the owning DEM tile.
+
+    points(url, px, py) equi-join on the computed tile key (no range
+    join needed — the affine is invertible), then an Arrow batch kernel
+    interpolates inside the block. Points whose 2x2 bilinear stencil
+    crosses a tile border fall back to nearest-cell within the tile
+    (documented tolerance; halo-tiled DEM removes this at scale)."""
+    d = dem.where(F.col("band") == band)
+    one = d.select("transform").first()
+    a, _, c, _, e, f0 = one.transform
+    tile = d.select(F.max("height").alias("h")).first().h
+    col = F.floor((F.col("px") - F.lit(c)) / F.lit(a)).cast("long")
+    row = F.floor((F.col("py") - F.lit(f0)) / F.lit(e)).cast("long")
+    pts = points.withColumn(
+        "dem_tile_id",
+        F.concat_ws(
+            ":",
+            (row - row % F.lit(tile)).cast("string"),
+            (col - col % F.lit(tile)).cast("string"),
+        ),
+    )
+    joined = pts.join(d, "dem_tile_id")
+
+    def interp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_rows = []
+            for t in pdf.itertuples():
+                blk = np.asarray(t.block, dtype="float64").reshape(t.height, t.width)
+                # fractional cell coords within tile (pixel-center)
+                fc = (t.px - c) / a - 0.5 - t.col_off
+                fr = (t.py - f0) / e - 0.5 - t.row_off
+                c0 = int(np.floor(fc))
+                r0 = int(np.floor(fr))
+                if 0 <= c0 < t.width - 1 and 0 <= r0 < t.height - 1:
+                    wc, wr = fc - c0, fr - r0
+                    z = (
+                        blk[r0, c0] * (1 - wr) * (1 - wc)
+                        + blk[r0, c0 + 1] * (1 - wr) * wc
+                        + blk[r0 + 1, c0] * wr * (1 - wc)
+                        + blk[r0 + 1, c0 + 1] * wr * wc
+                    )
+                else:
+                    ci = min(max(int(round(fc)), 0), t.width - 1)
+                    ri = min(max(int(round(fr)), 0), t.height - 1)
+                    z = blk[ri, ci]
+                out_rows.append({"url": t.url, "z": float(z)})
+            yield pd.DataFrame(out_rows)
+
+    return joined.mapInPandas(interp, schema="url string, z double")

@@ -148,7 +148,10 @@ def pip_join_salted(
     (asserted in tests).
     """
     fc = _attach_edge_arrays(footprint_cells, footprint_edges)
-    salted_pages = pages_cells.withColumn(
+    # project to join-relevant columns BEFORE the shuffle: never shuffle
+    # page payload (text/html) through a join that only needs geometry
+    proj = list(dict.fromkeys(["url", "cell", "px", "py", *keep]))
+    salted_pages = pages_cells.select(*proj).withColumn(
         "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salt))
     )
     replicated = fc.withColumn(

@@ -1,0 +1,293 @@
+"""Camera parameter I/O: oty-style YAML / CSV / GeoJSON readers + writers.
+
+Driver-side (the catalogs are metadata, broadcast to joins — SURVEY §3.1
+stage 2). Mirrors the reference's formats:
+
+- interior YAML      /root/reference/orthority/param_io.py:206-283
+- exterior CSV       /root/reference/orthority/param_io.py:906-1157
+  (dialect sniff + header detect + format dispatch + auto-UTM from mean
+   lat/lon — here the 4-way CsvFormat enum becomes a column-presence
+   check, and auto-"zone" is the mean-coordinate rule common.py:156-161)
+- exterior GeoJSON   /root/reference/orthority/param_io.py:1365-1425
+- RPC YAML           /root/reference/orthority/param_io.py:397-448
+  (strict 20-coefficient validation)
+- writers            /root/reference/orthority/param_io.py:570-700
+- validate_collection-style recursive schema checking
+  /root/reference/orthority/common.py:164-220
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+from pathlib import Path
+
+import yaml
+
+
+class ParamFileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# validate_collection analogue
+# ---------------------------------------------------------------------------
+
+def validate_collection(template, coll, path="$") -> None:
+    """Recursively validate ``coll`` against ``template``:
+
+    - dict template: every key must exist (keys that are types match any
+      key of that type); values validate recursively
+    - list template of one item: every element validates against it
+    - type template: isinstance check
+    - value template: equality check
+    """
+    if isinstance(template, dict):
+        if not isinstance(coll, dict):
+            raise ParamFileError(f"{path}: expected mapping, got {type(coll).__name__}")
+        explicit = {k for k in template if not isinstance(k, type)}
+        for k, v in template.items():
+            if isinstance(k, type):
+                matches = [
+                    ck for ck in coll if isinstance(ck, k) and ck not in explicit
+                ]
+                if not matches:
+                    raise ParamFileError(f"{path}: no key of type {k.__name__}")
+                for ck in matches:
+                    validate_collection(v, coll[ck], f"{path}.{ck}")
+            else:
+                if k not in coll:
+                    raise ParamFileError(f"{path}: missing key '{k}'")
+                validate_collection(v, coll[k], f"{path}.{k}")
+    elif isinstance(template, list):
+        if not isinstance(coll, list):
+            raise ParamFileError(f"{path}: expected list")
+        for i, item in enumerate(coll):
+            validate_collection(template[0], item, f"{path}[{i}]")
+    elif isinstance(template, type):
+        if template is float and isinstance(coll, int):
+            return  # ints are acceptable floats
+        if not isinstance(coll, template):
+            raise ParamFileError(
+                f"{path}: expected {template.__name__}, got {type(coll).__name__}"
+            )
+    else:
+        if coll != template:
+            raise ParamFileError(f"{path}: expected {template!r}, got {coll!r}")
+
+
+# ---------------------------------------------------------------------------
+# interior params (YAML)
+# ---------------------------------------------------------------------------
+
+_INT_TEMPLATE = {
+    str: {
+        "type": str,
+        "im_size": [int],
+        "focal_len": float,
+    }
+}
+
+VALID_CAM_TYPES = {"pinhole", "brown", "opencv", "fisheye", "rpc"}
+
+
+def read_int_param(file: str | Path) -> dict:
+    """oty interior-parameter YAML -> {cam_id: params dict}."""
+    with open(file) as f:
+        data = yaml.safe_load(f)
+    validate_collection(_INT_TEMPLATE, data)
+    for cam_id, p in data.items():
+        if p["type"] not in VALID_CAM_TYPES:
+            raise ParamFileError(f"{cam_id}: unknown camera type '{p['type']}'")
+        if len(p["im_size"]) != 2:
+            raise ParamFileError(f"{cam_id}: im_size must have 2 values")
+    return data
+
+
+def write_int_param(file: str | Path, params: dict, overwrite: bool = False) -> None:
+    p = Path(file)
+    if p.exists() and not overwrite:
+        raise FileExistsError(p)
+    with open(p, "w") as f:
+        yaml.safe_dump(params, f)
+
+
+# ---------------------------------------------------------------------------
+# exterior params (CSV with dialect sniffing + format dispatch)
+# ---------------------------------------------------------------------------
+
+LEGACY_FIELDS = ["filename", "x", "y", "z", "omega", "phi", "kappa"]
+CSV_FORMATS = {
+    "xyz_opk": {"x", "y", "z", "omega", "phi", "kappa"},
+    "xyz_rpy": {"x", "y", "z", "roll", "pitch", "yaw"},
+    "lla_opk": {"latitude", "longitude", "altitude", "omega", "phi", "kappa"},
+    "lla_rpy": {"latitude", "longitude", "altitude", "roll", "pitch", "yaw"},
+}
+
+
+def read_ext_param_csv(file: str | Path) -> tuple[list[dict], str]:
+    """Exterior-parameter CSV -> (records, format_name).
+
+    Dialect is sniffed; a header is detected by non-numeric first row;
+    headerless files fall back to the legacy 7-column layout
+    (param_io.py:959). Format dispatch = column-presence check (the
+    CsvFormat enum, enums.py:123-143)."""
+    text = Path(file).read_text()
+    try:
+        dialect = csv.Sniffer().sniff(text.splitlines()[0])
+    except csv.Error:
+        dialect = csv.excel
+    rows = list(csv.reader(text.splitlines(), dialect))
+    header = rows[0]
+
+    def _is_number(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    has_header = not any(_is_number(c) for c in header[1:])
+    if has_header:
+        fields = [c.strip().lower() for c in header]
+        data_rows = rows[1:]
+    else:
+        fields = LEGACY_FIELDS[: len(header)]
+        data_rows = rows
+    fieldset = set(fields)
+    fmt = next(
+        (name for name, req in CSV_FORMATS.items() if req <= fieldset), None
+    )
+    if fmt is None:
+        raise ParamFileError(f"unrecognised CSV fields: {fields}")
+    out = []
+    for r in data_rows:
+        if not r:
+            continue
+        rec = dict(zip(fields, r))
+        for k in fieldset - {"filename", "camera", "other"}:
+            rec[k] = float(rec[k])
+        out.append(rec)
+    return out, fmt
+
+
+def write_ext_param_csv(file: str | Path, records: list[dict],
+                        overwrite: bool = False) -> None:
+    p = Path(file)
+    if p.exists() and not overwrite:
+        raise FileExistsError(p)
+    fields = list(records[0].keys())
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(records)
+
+
+def mean_latlon_zone(records: list[dict]) -> int:
+    """Auto-UTM-zone rule from mean lat/lon (common.py:156-161)."""
+    lat = sum(r["latitude"] for r in records) / len(records)
+    lon = sum(r["longitude"] for r in records) / len(records)
+    zone = int(math.floor((lon + 180) / 6) % 60) + 1
+    return zone if lat >= 0 else -zone
+
+
+# ---------------------------------------------------------------------------
+# exterior params (GeoJSON) — S14
+# ---------------------------------------------------------------------------
+
+_GEOJSON_TEMPLATE = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "properties": {"filename": str},
+            "geometry": {"type": "Point", "coordinates": [float]},
+        }
+    ],
+}
+
+
+def read_ext_param_geojson(file: str | Path) -> tuple[list[dict], dict | None]:
+    """oty exterior GeoJSON -> (records, world_crs)."""
+    with open(file) as f:
+        data = json.load(f)
+    validate_collection(_GEOJSON_TEMPLATE, data)
+    records = []
+    for feat in data["features"]:
+        props = feat["properties"]
+        coords = feat["geometry"]["coordinates"]
+        rec = {"filename": props["filename"],
+               "lon": coords[0], "lat": coords[1],
+               "z": coords[2] if len(coords) > 2 else None}
+        for k in ("omega", "phi", "kappa", "camera"):
+            if k in props:
+                rec[k] = props[k]
+        records.append(rec)
+    return records, data.get("world_crs")
+
+
+def write_ext_param_geojson(file: str | Path, records: list[dict],
+                            world_crs: str | None = None,
+                            overwrite: bool = False) -> None:
+    p = Path(file)
+    if p.exists() and not overwrite:
+        raise FileExistsError(p)
+    feats = []
+    for r in records:
+        props = {k: v for k, v in r.items() if k not in ("lon", "lat", "z")}
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": props,
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [r["lon"], r["lat"]]
+                    + ([r["z"]] if r.get("z") is not None else []),
+                },
+            }
+        )
+    doc = {"type": "FeatureCollection", "features": feats}
+    if world_crs:
+        doc["world_crs"] = world_crs
+    with open(p, "w") as f:
+        json.dump(doc, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# RPC params (YAML, strict 20-coeff validation) — S9
+# ---------------------------------------------------------------------------
+
+RPC_COEFF_KEYS = [
+    "line_num_coeff", "line_den_coeff", "samp_num_coeff", "samp_den_coeff",
+]
+RPC_SCALAR_KEYS = [
+    "lat_off", "lat_scale", "long_off", "long_scale", "height_off",
+    "height_scale", "line_off", "line_scale", "samp_off", "samp_scale",
+]
+
+
+def read_rpc_param(file: str | Path) -> dict:
+    """oty RPC YAML -> {filename: rpc dict}; every coeff list must have
+    exactly 20 entries (param_io.py:414-437)."""
+    with open(file) as f:
+        data = yaml.safe_load(f)
+    for filename, entry in data.items():
+        rpc = entry.get("rpc", entry)
+        for k in RPC_SCALAR_KEYS:
+            if k not in rpc:
+                raise ParamFileError(f"{filename}: missing rpc key '{k}'")
+        for k in RPC_COEFF_KEYS:
+            if k not in rpc or len(rpc[k]) != 20:
+                raise ParamFileError(
+                    f"{filename}: '{k}' must have exactly 20 coefficients"
+                )
+    return data
+
+
+def write_rpc_param(file: str | Path, params: dict, overwrite: bool = False) -> None:
+    p = Path(file)
+    if p.exists() and not overwrite:
+        raise FileExistsError(p)
+    with open(p, "w") as f:
+        yaml.safe_dump(params, f)

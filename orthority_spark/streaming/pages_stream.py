@@ -1,0 +1,67 @@
+"""Streaming pages ingestion (new surface — the reference is pure batch,
+SURVEY §2.8).
+
+Two entry points:
+
+- :func:`stream_pages_dir` — file-source stream over a pages parquet
+  directory (``Trigger.AvailableNow`` for resumable incremental batch:
+  each trigger processes newly arrived files, checkpointed, which is the
+  Structured-Streaming expression of the ledger/resume requirement).
+- :func:`tile_counts_stream` — watermarked sliding-window aggregation of
+  page arrivals per tile over ``warc_ts`` event time: late pages beyond
+  the watermark are dropped deterministically.
+
+The transformation chain reuses the EXACT batch operators (geotag ->
+cell assign) — one definition, two execution modes, which is the point of
+expressing the engine as DataFrame transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.geotag import with_geotag
+from ..operators.tile_join import assign_cells
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_pages_dir(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """readStream over a pages parquet directory (schema fixed up front —
+    streaming sources cannot infer)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+
+def tile_counts_stream(pages_stream: DataFrame, window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked per-tile, per-event-time-window page counts."""
+    pc = assign_cells(with_geotag(pages_stream, token="float"))
+    return (
+        pc.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select("win.start", "win.end", "cell", "n_pages")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "tiles"
+):
+    """Drain all available input into a memory sink (complete mode) and
+    block until done — the incremental-batch execution used in tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

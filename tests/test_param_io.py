@@ -1,0 +1,122 @@
+"""Param-file I/O: round trips, schema validation, CSV format dispatch,
+auto-zone rule (SURVEY §2.1 S5/S9/S11/S14/S15)."""
+
+from __future__ import annotations
+
+import pytest
+
+from orthority_spark.sources.param_io import (
+    ParamFileError,
+    validate_collection,
+    read_int_param,
+    write_int_param,
+    read_ext_param_csv,
+    write_ext_param_csv,
+    read_ext_param_geojson,
+    write_ext_param_geojson,
+    read_rpc_param,
+    write_rpc_param,
+    mean_latlon_zone,
+)
+
+INT_PARAMS = {
+    "pinhole-1": {
+        "type": "pinhole", "im_size": [200, 150], "focal_len": 5.0,
+        "sensor_size": [6.0, 4.5], "cx": -0.01, "cy": 0.02,
+    },
+    "brown-1": {
+        "type": "brown", "im_size": [200, 150], "focal_len": 5.0,
+        "k1": -0.25, "k2": 0.2, "p1": 0.01, "p2": 0.01, "k3": -0.1,
+    },
+}
+
+
+def test_int_param_roundtrip(tmp_path):
+    f = tmp_path / "int.yaml"
+    write_int_param(f, INT_PARAMS)
+    assert read_int_param(f) == INT_PARAMS
+    with pytest.raises(FileExistsError):
+        write_int_param(f, INT_PARAMS)
+    write_int_param(f, INT_PARAMS, overwrite=True)
+
+
+def test_int_param_validation(tmp_path):
+    f = tmp_path / "bad.yaml"
+    bad = {"cam": {"type": "nope", "im_size": [1, 2], "focal_len": 1.0}}
+    write_int_param(f, bad)
+    with pytest.raises(ParamFileError, match="unknown camera type"):
+        read_int_param(f)
+
+
+def test_csv_header_dispatch(tmp_path):
+    f = tmp_path / "ext.csv"
+    recs = [
+        {"filename": "img_0000", "x": 2e4, "y": 3e4, "z": 1e3,
+         "omega": -0.05, "phi": 0.03, "kappa": 0.17, "camera": "pinhole-1"},
+        {"filename": "img_0001", "x": 2.01e4, "y": 3e4, "z": 1e3,
+         "omega": 0.0, "phi": 0.0, "kappa": 0.0, "camera": "brown-1"},
+    ]
+    write_ext_param_csv(f, recs)
+    got, fmt = read_ext_param_csv(f)
+    assert fmt == "xyz_opk"
+    assert got[0]["x"] == 2e4 and got[1]["filename"] == "img_0001"
+
+
+def test_csv_legacy_headerless(tmp_path):
+    f = tmp_path / "legacy.csv"
+    f.write_text("img_0000 20000 30000 1000 -0.05 0.03 0.17\n")
+    got, fmt = read_ext_param_csv(f)
+    assert fmt == "xyz_opk"
+    assert got[0]["filename"] == "img_0000" and got[0]["kappa"] == 0.17
+
+
+def test_csv_lla_rpy_and_zone(tmp_path):
+    f = tmp_path / "lla.csv"
+    recs = [
+        {"filename": "a", "latitude": -33.7, "longitude": 24.2,
+         "altitude": 1000.0, "roll": 0.0, "pitch": 0.0, "yaw": 0.1},
+        {"filename": "b", "latitude": -33.71, "longitude": 24.21,
+         "altitude": 1000.0, "roll": 0.0, "pitch": 0.0, "yaw": 0.2},
+    ]
+    write_ext_param_csv(f, recs)
+    got, fmt = read_ext_param_csv(f)
+    assert fmt == "lla_rpy"
+    # lon 24.2 -> UTM zone 35; southern hemisphere -> negative
+    assert mean_latlon_zone(got) == -35
+
+
+def test_geojson_roundtrip(tmp_path):
+    f = tmp_path / "ext.geojson"
+    recs = [
+        {"filename": "img_0000", "lon": 24.2, "lat": -33.7, "z": 1000.0,
+         "omega": -0.05, "phi": 0.03, "kappa": 0.17, "camera": "pinhole-1"},
+    ]
+    write_ext_param_geojson(f, recs, world_crs="EPSG:32735")
+    got, crs = read_ext_param_geojson(f)
+    assert crs == "EPSG:32735"
+    assert got[0]["lon"] == 24.2 and got[0]["camera"] == "pinhole-1"
+
+
+def test_rpc_strict_20_coeff(tmp_path):
+    f = tmp_path / "rpc.yaml"
+    rpc = {k: 0.0 for k in (
+        "lat_off", "lat_scale", "long_off", "long_scale", "height_off",
+        "height_scale", "line_off", "line_scale", "samp_off", "samp_scale")}
+    rpc.update({k: [0.0] * 20 for k in (
+        "line_num_coeff", "line_den_coeff", "samp_num_coeff", "samp_den_coeff")})
+    write_rpc_param(f, {"img.tif": {"rpc": rpc}})
+    assert read_rpc_param(f)["img.tif"]["rpc"]["lat_off"] == 0.0
+    rpc_bad = dict(rpc, line_num_coeff=[0.0] * 19)
+    write_rpc_param(f, {"img.tif": {"rpc": rpc_bad}}, overwrite=True)
+    with pytest.raises(ParamFileError, match="exactly 20"):
+        read_rpc_param(f)
+
+
+def test_validate_collection_shapes():
+    validate_collection({"a": [int], str: float}, {"a": [1, 2], "b": 1.5})
+    with pytest.raises(ParamFileError, match="missing key"):
+        validate_collection({"a": int}, {})
+    with pytest.raises(ParamFileError, match="expected list"):
+        validate_collection({"a": [int]}, {"a": 3})
+    with pytest.raises(ParamFileError, match="expected int"):
+        validate_collection({"a": [int]}, {"a": ["x"]})
