@@ -62,13 +62,17 @@ def knn_kring(
     """
     expanded = (
         footprint_cells.select("filename", "cell")
-        .withColumn("d", F.expr(f"explode(sequence(-{ring}, {ring}))"))
-        .withColumn("d2", F.expr(f"explode(sequence(-{ring}, {ring}))"))
+        .withColumn(
+            "d", F.expr(f"explode(sequence(CAST(-{ring} AS BIGINT), {ring}))")
+        )
+        .withColumn(
+            "d2", F.expr(f"explode(sequence(CAST(-{ring} AS BIGINT), {ring}))")
+        )
         .select(
             "filename",
             (
                 F.col("cell")
-                + F.col("d") * F.lit(grid.IX_FACTOR)
+                + F.col("d") * F.lit(grid.IX_FACTOR).cast("long")
                 + F.col("d2")
             ).alias("cell"),
         )
