@@ -207,6 +207,59 @@ class FrameModel:
         scales = (z - self.T[2, 0]) / xyz_r[2]
         return xyz_r * scales + self.T
 
+    def distort_pixel(self, ji: np.ndarray, clip: bool = False) -> np.ndarray:
+        """Pixel -> distorted pixel warp (P12, camera.py:882-895)."""
+        x = (np.asarray(ji, dtype="float64")[0] - self.K[0, 2]) / self.K[0, 0]
+        y = (ji[1] - self.K[1, 2]) / self.K[1, 1]
+        out = self._camera_to_pixel(np.vstack([x, y, np.ones_like(x)]))
+        if clip:
+            out = np.clip(
+                out.T, a_min=(0, 0), a_max=np.array(self.im_size) - 1
+            ).T
+        return out
+
+    def undistort_pixel(self, ji: np.ndarray, clip: bool = False) -> np.ndarray:
+        """Distorted pixel -> pixel warp (P12 inverse, camera.py:897-906)."""
+        xyz_ = self._pixel_to_camera(np.asarray(ji, dtype="float64"))
+        out = np.vstack(
+            [
+                self.K[0, 0] * xyz_[0] + self.K[0, 2],
+                self.K[1, 1] * xyz_[1] + self.K[1, 2],
+            ]
+        )
+        if clip:
+            out = np.clip(
+                out.T, a_min=(0, 0), a_max=np.array(self.im_size) - 1
+            ).T
+        return out
+
+    def undistort_intrinsic(self, alpha: float) -> np.ndarray:
+        """New intrinsic matrix for an undistorted same-size image (S4).
+
+        alpha=0 keeps the largest all-valid portion; alpha=1 includes all
+        source pixels. Pure-numpy re-derivation of the inner/outer
+        rectangle method (camera.py:736-787, which mirrors
+        cv2.getOptimalNewCameraMatrix).
+        """
+        w, h = self.im_size[0] - 1, self.im_size[1] - 1
+        n = 9
+        sj, si = np.meshgrid(np.arange(n), np.arange(n))
+        ji = np.vstack([sj.ravel() * w / (n - 1), si.ravel() * h / (n - 1)])
+        xy = self._pixel_to_camera(ji)[:2]
+        # outer rect spans all undistorted points; inner rect is the
+        # largest axis-aligned rect inside (per-edge extrema)
+        outer_min = xy.min(axis=1)
+        outer_max = xy.max(axis=1)
+        grid = xy.reshape(2, n, n)
+        inner_min = np.array([grid[0, :, 0].max(), grid[1, 0, :].max()])
+        inner_max = np.array([grid[0, :, -1].min(), grid[1, -1, :].min()])
+        lo = outer_min * alpha + inner_min * (1 - alpha)
+        hi = outer_max * alpha + inner_max * (1 - alpha)
+        im = np.array(self.im_size, dtype="float64")
+        f = (im - 1) / (hi - lo)
+        c = -lo * f
+        return np.array([[f[0], 0.0, c[0]], [0.0, f[1], c[1]], [0.0, 0.0, 1.0]])
+
     def horizon_fov(self) -> bool:
         """True if the FOV includes / is above the horizon (abort predicate,
         camera.py:722-734)."""

@@ -75,3 +75,19 @@ def aa_to_opk(aa) -> tuple[float, float, float]:
     R = aa_to_rotation(aa).T
     R = R @ PATB_TO_CV
     return rotation_to_opk(R)
+
+
+# body (nose-right-down) frame to north-aligned locally-level E frame:
+# x_E = east <- y_b, y_E = north <- x_b, z_E = up <- -z_b
+# (/root/reference/orthority/param_io.py:753-835; the reference aligns to
+# grid north with a finite-difference pyproj probe — this engine's world
+# frame is an exact north-aligned equirectangular plane, so C_EB is the
+# constant swap matrix and no probe is needed)
+C_EB = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+
+
+def rpy_to_opk(rpy) -> tuple[float, float, float]:
+    """(roll, pitch, yaw) radians -> (omega, phi, kappa), PATB, for a
+    north-aligned world frame (P10 recast; rpy == 0 => nadir view)."""
+    R = C_EB @ rpy_to_rotation(rpy)
+    return rotation_to_opk(R @ PATB_TO_CV)

@@ -291,3 +291,71 @@ def write_rpc_param(file: str | Path, params: dict, overwrite: bool = False) -> 
         raise FileExistsError(p)
     with open(p, "w") as f:
         yaml.safe_dump(params, f)
+
+
+# ---------------------------------------------------------------------------
+# OpenSfM / ODM reconstruction.json — S6/S12
+# ---------------------------------------------------------------------------
+
+_OSFM_CAM_TYPES = {
+    "perspective": "brown",
+    "brown": "brown",
+    "fisheye": "fisheye",
+    "spherical": None,
+}
+
+
+def read_osfm(file: str | Path) -> tuple[dict, dict]:
+    """OpenSfM reconstruction.json -> (interior params, exterior params).
+
+    Mirrors /root/reference/orthority/param_io.py:71-129 (interior) and
+    1160-1263 (exterior): camera pose xyz = -R^T t from the shot's
+    angle-axis rotation + translation; orientation via aa_to_opk (PATB).
+    reference_lla offsets are applied when present.
+    """
+    import numpy as np
+
+    from ..geom.rotation import aa_to_rotation, aa_to_opk
+
+    with open(file) as f:
+        data = json.load(f)
+    recon = data[0] if isinstance(data, list) else data
+    validate_collection({"cameras": dict, "shots": dict}, recon)
+
+    int_params = {}
+    for cam_id, cam in recon["cameras"].items():
+        cam_type = _OSFM_CAM_TYPES.get(cam.get("projection_type", "perspective"))
+        if cam_type is None:
+            raise ParamFileError(
+                f"{cam_id}: unsupported projection type "
+                f"'{cam.get('projection_type')}'"
+            )
+        p = {
+            "type": cam_type,
+            "im_size": [cam["width"], cam["height"]],
+            "focal_len": float(cam.get("focal", cam.get("focal_x", 0.0))),
+        }
+        for k_src, k_dst in (
+            ("c_x", "cx"), ("c_y", "cy"), ("k1", "k1"), ("k2", "k2"),
+            ("k3", "k3"), ("p1", "p1"), ("p2", "p2"),
+        ):
+            if k_src in cam:
+                p[k_dst] = float(cam[k_src])
+        int_params[cam_id] = p
+
+    ref = recon.get("reference_lla", {})
+    ext_params = {}
+    for filename, shot in recon["shots"].items():
+        aa = np.array(shot["rotation"], dtype="float64")
+        t = np.array(shot["translation"], dtype="float64")
+        R = aa_to_rotation(aa)
+        xyz = -R.T @ t
+        ext_params[filename] = {
+            "xyz": tuple(float(v) for v in xyz),
+            "opk": aa_to_opk(aa),
+            "camera": shot["camera"],
+            "ref_lla": (
+                ref.get("latitude"), ref.get("longitude"), ref.get("altitude")
+            ),
+        }
+    return int_params, ext_params
