@@ -1,0 +1,172 @@
+"""Deduplication operator family (task-brief first-class component).
+
+Engine-grade APIs over a documents-shaped DataFrame (id_col, text_col):
+
+- :func:`dedup_exact`          hash-groupBy keep-min
+- :func:`shingle_set`          distinct word-n-gram shingles (explode)
+- :func:`minhash_signatures`   P permutations, partial-agg min
+- :func:`lsh_candidate_pairs`  banding equi-join
+- :func:`jaccard_verify`       exact Jaccard over candidate pairs ONLY
+- :func:`minhash_lsh_neardups` the full pipeline: shingle -> minhash ->
+                               band -> bucket-join -> exact verify
+- :func:`simhash64`            64-bit SimHash (near-dup by hamming bands)
+
+Scale shape: every stage is built-ins; the only pairwise work is inside
+LSH buckets; the verifier joins candidates to shingle sets (semi-join
+pushdown keeps the shingle explode restricted to candidate docs).
+
+The driver-gate queries in queries_text.py use these same fragments with
+DuckDB oracles; here the API carries configurable n/perms/bands and the
+candidates-only verifier used at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+P31 = 2147483647
+
+
+def _h31(col: str) -> str:
+    return (
+        f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT) % {P31}"
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, keep_id, n_dupes): exact duplicate groups."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh): distinct word-n-gram shingles."""
+    toks = f"split({text_col}, ' ')"
+    parts = ", ".join(f"{toks}[i+{k}]" for k in range(n))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size({toks}) - {n}), "
+                    f"i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perms: int = 8
+) -> DataFrame:
+    """(id, perm, sig): min over shingles of (a*h+b) % P31."""
+    perms = [(p, 1000003 + p * 101, 12345 + p * 7919) for p in range(n_perms)]
+    perms_df = shingles.sparkSession.createDataFrame(
+        perms, "perm int, a long, b long"
+    )
+    return (
+        shingles.withColumn("h", F.expr(_h31("sh")))
+        .join(F.broadcast(perms_df))
+        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(P31))
+        .groupBy("id", "perm")
+        .agg(F.min("ph").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(id_a, id_b): pairs sharing >= 1 band signature."""
+    bands = (
+        sigs.withColumn("band", F.expr(f"perm DIV {rows_per_band}"))
+        .groupBy("id", "band")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("perm") % rows_per_band == 0, F.col("sig") * F.lit(P31)
+                ).otherwise(F.col("sig"))
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, tau: float
+) -> DataFrame:
+    """Exact shingle-Jaccard over CANDIDATE pairs only (the scale path:
+    never all-pairs). Returns (id_a, id_b, jaccard >= tau)."""
+    counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = shingles.join(cand_ids, "id", "left_semi")
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(counts.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_neardups(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, n_perms: int = 8, rows_per_band: int = 2, tau: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline with exact verification."""
+    sh = shingle_set(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, n_perms)
+    cands = lsh_candidate_pairs(sigs, rows_per_band)
+    return jaccard_verify(cands, sh, tau)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash from unigram token hashes."""
+    bits = df.sparkSession.createDataFrame(
+        [(b, 2**b) for b in range(63)], "bit int, pw long"
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+        .withColumn("h", F.expr(_h31("token")))
+    )
+    return (
+        toks.join(F.broadcast(bits))
+        .withColumn(
+            "bv", F.expr("CASE WHEN (h DIV pw) % 2 = 1 THEN 1 ELSE -1 END")
+        )
+        .groupBy("id", "bit", "pw")
+        .agg(F.sum("bv").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.col("pw")).otherwise(F.lit(0))).alias(
+                "simhash"
+            )
+        )
+    )

@@ -131,6 +131,27 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
 
+def q_asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via the pure-JVM union+window carry-forward
+    (operators/asof.py — the at-scale default; ~10x the cogroup path)."""
+    from .operators.asof import asof_join_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return asof_join_window(
+        purchases, views, "user_id", "ts", ["event_id"], "view_event_id"
+    )
+
+
+def o_asof_join_window() -> str:
+    return o_asof_join()
+
+
 def q_covar_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel covariance (A1, Schubert-Gertz) as exact integer partial
     sums + the finalized covariance — partition-order independent by
@@ -238,6 +259,7 @@ QUERIES = {
     "revenue_by_nation": (q_revenue_by_nation, o_revenue_by_nation),
     "window_topk_events": (q_window_topk_events, o_window_topk_events),
     "asof_join": (q_asof_join, o_asof_join),
+    "asof_join_window": (q_asof_join_window, o_asof_join_window),
     "covar_partials": (q_covar_partials, o_covar_partials),
     "sessionize": (q_sessionize, o_sessionize),
     "anti_join_unmatched": (q_anti_join_unmatched, o_anti_join_unmatched),
