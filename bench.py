@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "sessionize",
     "asof_join",
+    "asof_join_window",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) over the pure-numpy kernels:
+invariants must hold for ALL inputs, not just fixture points."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from orthority_spark import grid
+from orthority_spark.geom.boundary import point_in_polygon, polygon_area
+from orthority_spark.geom.rotation import opk_to_rotation, rotation_to_opk
+
+finite_lat = st.floats(min_value=-89.999, max_value=89.999)
+finite_lon = st.floats(min_value=-179.999, max_value=179.999)
+angle = st.floats(min_value=-1.4, max_value=1.4)  # inside asin branch
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lat, finite_lon, st.integers(min_value=1, max_value=26))
+def test_cell_contains_its_point(lat, lon, res):
+    cell = int(grid.cell_index(np.array([lat]), np.array([lon]), res)[0])
+    clat, clon = grid.cell_center(np.array([cell]))
+    half_h = 90.0 / 2**res
+    half_w = 180.0 / 2**res
+    assert abs(clat[0] - lat) <= half_h * (1 + 1e-9)
+    assert abs(clon[0] - lon) <= half_w * (1 + 1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lat, finite_lon,
+       st.integers(min_value=2, max_value=26),
+       st.integers(min_value=0, max_value=10))
+def test_parent_is_ancestor(lat, lon, res, up):
+    parent_res = max(res - up, 0)
+    cells = grid.cell_index(np.array([lat]), np.array([lon]), res)
+    parents = grid.parent_cell(cells, parent_res)
+    direct = grid.cell_index(np.array([lat]), np.array([lon]), parent_res)
+    assert parents[0] == direct[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(angle, angle, angle)
+def test_rotation_roundtrip_property(o, p, k):
+    R = opk_to_rotation((o, p, k))
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    o2, p2, k2 = rotation_to_opk(R)
+    R2 = opk_to_rotation((o2, p2, k2))
+    np.testing.assert_allclose(R, R2, atol=1e-10)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=0.1, max_value=1e4),
+       st.floats(min_value=0.1, max_value=1e4),
+       st.floats(min_value=-1e4, max_value=1e4),
+       st.floats(min_value=-1e4, max_value=1e4))
+def test_rect_pip_and_area(w, h, x0, y0):
+    rect = np.array([[x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h]])
+    assert polygon_area(rect) == np.float64(w) * np.float64(h) or abs(
+        polygon_area(rect) - w * h
+    ) < 1e-6 * w * h
+    # center inside, far point outside
+    inside = point_in_polygon(
+        np.array([x0 + w / 2, x0 + 2 * w + 1]),
+        np.array([y0 + h / 2, y0]),
+        rect,
+    )
+    assert inside[0] and not inside[1]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**60), min_size=1,
+                max_size=200),
+       st.integers(min_value=2, max_value=8))
+def test_checksum_partition_invariance(hashes, n_parts):
+    """SUM of row hashes mod M is invariant to any partitioning."""
+    M = 1_000_000_007
+    total = sum(h % M for h in hashes)
+    # any split of the list sums to the same value
+    chunks = np.array_split(np.array(hashes, dtype=object), n_parts)
+    assert sum(int(sum(int(h) % M for h in c)) for c in chunks) == total
