@@ -63,18 +63,22 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 def minhash_signatures(
     shingles: DataFrame, n_perms: int = 8
 ) -> DataFrame:
-    """(id, perm, sig): min over shingles of (a*h+b) % P31."""
+    """(id, perm, sig): min over shingles of (a*h+b) % P31.
+
+    Column-wise: md5 once per shingle, P permutation mins as aggregate
+    columns of one partial-agg groupBy (no perms-join row replication);
+    stack() restores (perm, sig) rows after aggregation."""
     perms = [(p, 1000003 + p * 101, 12345 + p * 7919) for p in range(n_perms)]
-    perms_df = shingles.sparkSession.createDataFrame(
-        perms, "perm int, a long, b long"
-    )
-    return (
-        shingles.withColumn("h", F.expr(_h31("sh")))
-        .join(F.broadcast(perms_df))
-        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(P31))
-        .groupBy("id", "perm")
-        .agg(F.min("ph").alias("sig"))
-    )
+    h = shingles.withColumn("h", F.expr(_h31("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"s{p}")
+        for p, a, b in perms
+    ]
+    wide = h.groupBy("id").agg(*aggs)
+    stack = ", ".join(f"{p}, s{p}" for p, _, _ in perms)
+    return wide.select(
+        "id", F.expr(f"stack({n_perms}, {stack}) AS (perm, sig)")
+    ).select("id", F.col("perm").cast("int").alias("perm"), "sig")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -142,11 +146,10 @@ def minhash_lsh_neardups(
     return jaccard_verify(cands, sh, tau)
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash): 64-bit SimHash from unigram token hashes."""
-    bits = df.sparkSession.createDataFrame(
-        [(b, 2**b) for b in range(63)], "bit int, pw long"
-    )
+def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 31) -> DataFrame:
+    """(id, simhash): SimHash from unigram token hashes (default 31 bits —
+    the token hash itself is 31-bit). Column-wise per-bit sign sums in one
+    partial-agg groupBy; no bits-join replication."""
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -156,17 +159,15 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .distinct()
         .withColumn("h", F.expr(_h31("token")))
     )
-    return (
-        toks.join(F.broadcast(bits))
-        .withColumn(
-            "bv", F.expr("CASE WHEN (h DIV pw) % 2 = 1 THEN 1 ELSE -1 END")
-        )
-        .groupBy("id", "bit", "pw")
-        .agg(F.sum("bv").alias("s"))
-        .groupBy("id")
-        .agg(
-            F.sum(F.when(F.col("s") > 0, F.col("pw")).otherwise(F.lit(0))).alias(
-                "simhash"
-            )
-        )
-    )
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN (h DIV {2**b}) % 2 = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    wide = toks.groupBy("id").agg(*aggs)
+    simhash = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return wide.select("id", simhash.cast("long").alias("simhash"))

@@ -105,15 +105,24 @@ _PERMS_VALUES = (
 
 
 def _minhash_sigs(spark, sf_dir) -> DataFrame:
-    """(doc_id, perm, sig): min over shingles of (a*h31+b) % P31."""
-    perms = spark.createDataFrame(PERMS, "perm int, a long, b long")
+    """(doc_id, perm, sig): min over shingles of (a*h31+b) % P31.
+
+    Column-wise plan: md5 is computed ONCE per shingle, the P permutation
+    hashes are map-side arithmetic columns, and the min lands in one
+    partial-aggregated groupBy — no row replication (a perms-join would
+    recompute the md5 P times and multiply the shuffle by P). The perm/sig
+    rows are restored with stack() after aggregation."""
     sh = _shingles(spark, sf_dir).withColumn("h", F.expr(_h31("sh")))
-    return (
-        sh.join(F.broadcast(perms))
-        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % F.lit(P31))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("ph").alias("sig"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"s{p}")
+        for p, a, b in PERMS
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{p}, s{p}" for p, _, _ in PERMS)
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({N_PERMS}, {stack}) AS (perm, sig)"),
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "sig")
 
 
 def _minhash_cte() -> str:
@@ -248,23 +257,24 @@ WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_TAU}"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document from unigram token hashes."""
-    bits = spark.createDataFrame(
-        [(b, 2**b) for b in range(16)], "bit int, pw long"
-    )
+    """16-bit SimHash per document from unigram token hashes.
+
+    Column-wise: md5 once per token, 16 per-bit sign sums as aggregate
+    columns in ONE partial-agg groupBy (no bits-join row replication),
+    then the simhash assembles from the 16 sums map-side."""
     t = _tokens(spark, sf_dir).withColumn("h", F.expr(_h31("token")))
-    return (
-        t.join(F.broadcast(bits))
-        .withColumn("bv", F.expr("CASE WHEN (h DIV pw) % 2 = 1 THEN 1 ELSE -1 END"))
-        .groupBy("doc_id", "bit", "pw")
-        .agg(F.sum("bv").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("s") > 0, F.col("pw")).otherwise(F.lit(0))).alias(
-                "simhash"
-            )
-        )
-    )
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN (h DIV {2**b}) % 2 = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    wide = t.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return wide.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 def o_simhash() -> str:

@@ -359,3 +359,74 @@ def read_osfm(file: str | Path) -> tuple[dict, dict]:
             ),
         }
     return int_params, ext_params
+
+
+# ---------------------------------------------------------------------------
+# GCPs (GeoJSON) — S10
+# ---------------------------------------------------------------------------
+
+_GCP_TEMPLATE = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "properties": {"filename": str, "ji": [float]},
+            "geometry": {"type": "Point", "coordinates": [float]},
+        }
+    ],
+}
+
+
+def read_gcps_geojson(file: str | Path) -> list[dict]:
+    """oty GCP GeoJSON -> flat records (filename, j, i, x, y, z, id, info).
+
+    Schema mirrors /root/reference/orthority/param_io.py:538-551: pixel
+    (j, i) in the feature properties (center-pixel convention,
+    param_io.py:487-493), world (x, y, z) as the Point geometry.
+    """
+    with open(file) as f:
+        data = json.load(f)
+    validate_collection(_GCP_TEMPLATE, data)
+    out = []
+    for feat in data["features"]:
+        props = feat["properties"]
+        coords = feat["geometry"]["coordinates"]
+        out.append(
+            {
+                "filename": props["filename"],
+                "j": float(props["ji"][0]),
+                "i": float(props["ji"][1]),
+                "x": float(coords[0]),
+                "y": float(coords[1]),
+                "z": float(coords[2]) if len(coords) > 2 else None,
+                "id": props.get("id"),
+                "info": props.get("info"),
+            }
+        )
+    return out
+
+
+def write_gcps_geojson(file: str | Path, records: list[dict],
+                       overwrite: bool = False) -> None:
+    p = Path(file)
+    if p.exists() and not overwrite:
+        raise FileExistsError(p)
+    feats = [
+        {
+            "type": "Feature",
+            "properties": {
+                "filename": r["filename"],
+                "ji": [r["j"], r["i"]],
+                "id": r.get("id"),
+                "info": r.get("info"),
+            },
+            "geometry": {
+                "type": "Point",
+                "coordinates": [r["x"], r["y"]]
+                + ([r["z"]] if r.get("z") is not None else []),
+            },
+        }
+        for r in records
+    ]
+    with open(p, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f, indent=2)

@@ -1,0 +1,77 @@
+"""Custom stateful streaming: per-user sessionization with
+applyInPandasWithState (task-brief custom stateful operator slot).
+
+Batch sessionization (queries_rel.q_sessionize) numbers sessions with a
+window function; in streaming, session state must live ACROSS triggers.
+State per user: (last_ts_epoch, session_id). A new event starts a new
+session when its gap from the stored last timestamp exceeds the gap
+threshold; state times out (GroupStateTimeout) after inactivity so the
+state store cannot grow unboundedly at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "user_id long, event_id long, session_id long"
+STATE_SCHEMA = "last_ts double, session_id long"
+
+
+def _make_sessionizer(with_timeout: bool):
+    def _sessionize_group(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        gap_s = 1800.0
+        if state.exists:
+            last_ts, session_id = state.get
+        else:
+            last_ts, session_id = float("-inf"), 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for r in pdf.itertuples():
+                ts = r.ts.timestamp()
+                if ts - last_ts > gap_s:
+                    session_id += 1
+                last_ts = ts
+                out.append((key[0], r.event_id, session_id))
+        state.update((last_ts, session_id))
+        if with_timeout:
+            state.setTimeoutDuration(3600 * 1000)
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "session_id"])
+
+    return _sessionize_group
+
+
+def sessionize_stream(events_stream: DataFrame, evict_state: bool = False) -> DataFrame:
+    """events(user_id, ts, event_id) stream -> (user_id, event_id,
+    session_id) with cross-trigger session state.
+
+    ``evict_state=True`` enables the processing-time state timeout —
+    required on continuous deployments so the per-user state store stays
+    bounded at 10^12 scale; leave False for availableNow drains (the
+    timeout machinery never fires there and stalls query termination).
+    """
+    from ..pyfiles import ensure_on_executors
+
+    ensure_on_executors(events_stream.sparkSession)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_state
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events_stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(evict_state),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
