@@ -101,7 +101,7 @@ def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
     if salted:
         joined = tile_join.pip_join_salted(
             pages,
-            fp.footprint_cells_df(spark, recs),
+            fp.footprint_catalog_df(spark, recs),
             fp.footprint_edges_df(spark, recs),
             keep=["cell"],
             n_salt=cores * 2,
@@ -109,7 +109,7 @@ def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
     else:
         joined = tile_join.pip_join_broadcast(
             pages,
-            fp.footprint_cells_df(spark, recs),
+            fp.footprint_catalog_df(spark, recs),
             fp.footprint_edges_df(spark, recs),
             keep=["cell"],
         )

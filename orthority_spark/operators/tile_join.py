@@ -81,7 +81,11 @@ _PIP_INSIDE = (
 
 def _attach_edge_arrays(footprint_cells: DataFrame, footprint_edges: DataFrame) -> DataFrame:
     """footprint_cells + an edges array<struct> column per filename (tiny,
-    driver-side-sized; stays broadcastable)."""
+    driver-side-sized; stays broadcastable). Skipped when the catalog
+    already carries an edges column (footprints.footprint_catalog_df
+    builds it driver-side — preferred: zero footprint-side shuffles)."""
+    if "edges" in footprint_cells.columns:
+        return footprint_cells
     edge_arrays = footprint_edges.groupBy("filename").agg(
         F.array_sort(
             F.collect_list(F.struct("x1", "y1", "x2", "y2"))

@@ -17,7 +17,10 @@ def all_queries() -> dict:
 
     merged: dict = {}
     merged.update(queries_geo.QUERIES)
-    for mod_name in ("queries_text", "queries_vec", "queries_rel", "queries_extra"):
+    for mod_name in (
+        "queries_text", "queries_vec", "queries_rel", "queries_extra",
+        "queries_extra2",
+    ):
         try:
             mod = __import__(f"orthority_spark.{mod_name}", fromlist=["QUERIES"])
             merged.update(mod.QUERIES)

@@ -140,6 +140,27 @@ def footprint_cells_df(spark: SparkSession, recs: dict | None = None) -> DataFra
     return spark.createDataFrame(recs["cells"], "filename string, cell long")
 
 
+def footprint_catalog_df(spark: SparkSession, recs: dict | None = None) -> DataFrame:
+    """(filename, cell, edges array<struct>) — the covering-cell index with
+    polygon edges pre-attached DRIVER-side, so the join side broadcasts as
+    one table and the plan carries zero footprint-side shuffles."""
+    recs = recs or footprint_records()
+    edges_by_name: dict[str, list] = {}
+    for n, x1, y1, x2, y2 in recs["edges"]:
+        edges_by_name.setdefault(n, []).append(
+            {"x1": x1, "y1": y1, "x2": x2, "y2": y2}
+        )
+    rows = [
+        (n, c, sorted(edges_by_name[n], key=lambda e: (e["x1"], e["y1"])))
+        for n, c in recs["cells"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "filename string, cell long, edges array<struct<x1: double, "
+        "y1: double, x2: double, y2: double>>",
+    )
+
+
 def footprint_summary_df(spark: SparkSession, recs: dict | None = None) -> DataFrame:
     recs = recs or footprint_records()
     return spark.createDataFrame(
