@@ -1,0 +1,121 @@
+"""Approximate nearest neighbour over embedding columns (task brief):
+brute-force exact baseline + IVF (inverted-file) scale path.
+
+IVF: k-means-style coarse quantiser trained ON the driver from a sampled
+centroid seed (labels here; at scale: a sampled k-means), vectors
+assigned map-side to their nearest centroid (nprobe buckets per query),
+search restricted to same-bucket candidates — an equi-join on bucket id
+instead of a cross product. Recall vs the exact baseline is measured in
+tests (the standard ANN quality contract).
+
+All scoring uses integer-quantised embeddings (floor(x*1e6)) so dot
+products are exact int64 and rankings are deterministic (ties broken by
+id), matching queries_vec.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+QUANT = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+_DOT = (
+    "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), CAST(0 AS BIGINT), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def quantize(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", "label", F.expr(QUANT).alias("qe")
+    ).withColumn(
+        "nn", F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    )
+
+
+def _score_and_rank(cand: DataFrame, k: int, dedup: bool = False) -> DataFrame:
+    scored = (
+        cand.withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (
+                F.sqrt(F.col("a.nn").cast("double"))
+                * F.sqrt(F.col("b.nn").cast("double"))
+            ),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    if dedup:  # nprobe>1 can produce the same pair via multiple buckets
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def ann_bruteforce(qz: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact baseline: broadcast query set x full corpus."""
+    queries = qz.where(F.col("vec_id").isin(query_ids)).alias("a")
+    corpus = qz.alias("b")
+    cand = corpus.join(F.broadcast(queries), F.expr("a.vec_id != b.vec_id"))
+    return _score_and_rank(cand, k)
+
+
+def train_centroids(qz: DataFrame, n_centroids: int = 8) -> np.ndarray:
+    """Coarse quantiser: per-label mean vectors collected to the driver
+    (the sampled-k-means stand-in; labels are the seed clusters)."""
+    rows = (
+        qz.withColumn("c", F.col("label") % n_centroids)
+        .select("c", F.posexplode("qe").alias("i", "v"))
+        .groupBy("c", "i")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    n_dim = max(r.i for r in rows) + 1
+    cents = np.zeros((n_centroids, n_dim))
+    for r in rows:
+        cents[r.c, r.i] = r.m
+    return cents
+
+
+def assign_buckets(qz: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> DataFrame:
+    """Map-side bucket assignment: nearest (by int dot on the quantised
+    embedding) of the broadcast centroids; nprobe>1 replicates each
+    vector into its top-nprobe buckets (query-side fan-out)."""
+    exprs = []
+    for ci, c in enumerate(centroids):
+        terms = " + ".join(f"qe[{i}] * {c[i]!r}" for i in range(len(c)) if c[i] != 0.0)
+        exprs.append(f"struct(({terms or '0.0'}) AS score, {ci} AS bucket)")
+    top = (
+        f"slice(reverse(array_sort(array({', '.join(exprs)}))), 1, {nprobe})"
+    )
+    return qz.withColumn("b_arr", F.expr(top)).select(
+        "vec_id", "label", "qe", "nn",
+        F.explode(F.expr("transform(b_arr, s -> s.bucket)")).alias("bucket"),
+    )
+
+
+def ann_ivf(
+    qz: DataFrame,
+    query_ids: list[int],
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: queries probe their nprobe nearest buckets; corpus
+    vectors live in exactly one bucket; candidates = bucket equi-join."""
+    corpus = assign_buckets(qz, centroids, nprobe=1).alias("b")
+    queries = assign_buckets(
+        qz.where(F.col("vec_id").isin(query_ids)), centroids, nprobe=nprobe
+    ).alias("a")
+    cand = corpus.join(F.broadcast(queries), "bucket").where(
+        F.expr("a.vec_id != b.vec_id")
+    )
+    return _score_and_rank(cand, k, dedup=True)

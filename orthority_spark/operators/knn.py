@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .. import config, grid
+from .. import grid
 
 
 def _dist_sq(cx: str = "cx", cy: str = "cy") -> Column:

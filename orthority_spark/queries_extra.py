@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import config
 from .oracle import dlit
 from .queries_geo import pages_cte, pages_cells, _pip_oracle
 from .queries_rel import _CENTS

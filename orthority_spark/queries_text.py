@@ -19,9 +19,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-
-from . import config
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 P31 = 2147483647  # Mersenne prime 2^31-1: perm-hash modulus
 N_PERMS = 8

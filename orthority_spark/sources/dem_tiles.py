@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..geom.dem import DEM_OFFSET, DEM_GAIN, DEM_RES, dem_sinusoid
+from ..geom.dem import DEM_OFFSET, DEM_RES, dem_sinusoid
 
 TILE = 64
 
