@@ -47,9 +47,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_N_PAGES", "8000000"))
 PAGES_PARQUET = os.environ.get("BENCH_PAGES_DIR", "/tmp/bench_pages_parquet8")
 LEVELS = [2, 8, CPUS]
-N_REPS = 4  # per level: fresh lineage each rep; rep1 = cold (incl. codegen
-            # compile), min = steady state (compile amortised, as on any
-            # long-running cluster)
+# rounds per level (asymmetric: the cheap high-core sessions get more
+# samples so the min-estimator converges under this host's drifting noise;
+# each session = cold run incl. codegen compile + steady run)
+ROUNDS = {2: 4, 8: 5, CPUS: 5}
 
 BENCH_QUERIES = [
     "pip_join",
@@ -146,24 +147,28 @@ def run_pipeline_once(cores: int, salted: bool = False) -> tuple[float, float, d
     return times[0], times[1], overhead, tiles
 
 
-def run_pipeline_levels(levels: list[int]) -> tuple[dict, dict, dict]:
+def run_pipeline_levels(levels: list[int]) -> tuple[dict, dict, dict, dict, dict]:
     """Interleave parallelism levels round-robin (fresh cold session per
     round per level) so drifting host noise on this shared VM lands on
     every level evenly; cold = first round's compile-inclusive run,
-    steady = min of the compile-cached runs across rounds."""
+    steady = min of the compile-cached runs across rounds (all rounds
+    reported for transparency)."""
     cold: dict = {}
-    steady: dict = {c: float("inf") for c in levels}
+    rounds: dict = {c: [] for c in levels}
     overhead: dict = {c: float("inf") for c in levels}
     tiles: dict = {}
-    for rep in range(N_REPS):
+    for rep in range(max(ROUNDS.values())):
         for cores in levels:
+            if rep >= ROUNDS[cores]:
+                continue
             c_t, s_t, o_t, tl = run_pipeline_once(cores)
             if rep == 0:
                 cold[cores] = c_t
                 tiles[cores] = tl
-            steady[cores] = min(steady[cores], s_t)
+            rounds[cores].append(round(s_t, 3))
             overhead[cores] = min(overhead[cores], o_t)
-    return cold, steady, overhead, tiles
+    steady = {c: min(v) for c, v in rounds.items()}
+    return cold, steady, overhead, rounds, tiles
 
 
 def run_queries(cores: int) -> dict[str, float]:
@@ -208,7 +213,7 @@ def hw_calibration() -> dict:
 
 def main() -> None:
     materialize_pages()
-    cold, steady, overhead, tiles = run_pipeline_levels(LEVELS)
+    cold, steady, overhead, rounds, tiles = run_pipeline_levels(LEVELS)
     # salted path measured once at the top level (skew strategy check)
     _sc, salted_steady, _so, salted_tiles = run_pipeline_once(CPUS, salted=True)
     thr = {c: N_PAGES / t for c, t in steady.items()}
@@ -238,6 +243,7 @@ def main() -> None:
         "sf": float(sf),
         "n_pages": N_PAGES,
         "pipeline_cold_sec": {str(c): round(cold[c], 3) for c in LEVELS},
+        "pipeline_rounds_sec": {str(c): rounds[c] for c in LEVELS},
         "pipeline_steady_sec": {str(c): round(steady[c], 3) for c in LEVELS},
         "pages_per_sec": {str(c): round(thr[c]) for c in LEVELS},
         "salted_steady_sec": round(salted_steady, 3),
