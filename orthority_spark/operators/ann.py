@@ -119,3 +119,37 @@ def ann_ivf(
         F.expr("a.vec_id != b.vec_id")
     )
     return _score_and_rank(cand, k, dedup=True)
+
+
+def embedding_neardups_lsh(
+    qz: DataFrame, centroids: np.ndarray, tau: float
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs restricted to shared IVF buckets —
+    the dedup-at-scale path (all-pairs cosine is O(n^2); bucketed search
+    only compares within coarse-quantiser cells). Recall vs the all-pairs
+    threshold scan is a test contract, not an equality: pairs straddling
+    a bucket boundary are missed by design (raise nprobe to trade cost
+    for recall)."""
+    b = assign_buckets(qz, centroids, nprobe=2)
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, "bucket")
+        .where(F.expr("a.vec_id < b.vec_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (
+                F.sqrt(F.col("a.nn").cast("double"))
+                * F.sqrt(F.col("b.nn").cast("double"))
+            ),
+        )
+        .where(F.col("cosine") >= tau)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand
