@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .queries_geo import pages_cells, _pip_oracle
+from .queries_geo import pages_cells, pages_cte, _pip_oracle
 
 
 def q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,3 +99,41 @@ QUERIES = {
     "except_pages": (q_except_pages, o_except_pages),
     "value_percentiles": (q_value_percentiles, o_value_percentiles),
 }
+
+
+def q_rpc_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against the RPC camera's footprint (P7 in the distributed
+    path): the satellite-style polygon comes from RpcModel.pixel_to_world_z
+    at the ground plane, runs through the identical broadcast PIP plan."""
+    from .operators import tile_join
+    from .sources import footprints as fp
+
+    recs = fp.rpc_footprint_records()
+    return tile_join.pip_join_broadcast(
+        pages_cells(spark, sf_dir),
+        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_edges_df(spark, recs),
+    )
+
+
+def o_rpc_pip_join() -> str:
+    from .oracle import dlit
+    from .operators.tile_join import pip_crossing_sql
+    from .sources import footprints as fp
+
+    recs = fp.rpc_footprint_records()
+    rows = ", ".join(
+        f"('{n}', {dlit(x1)}, {dlit(y1)}, {dlit(x2)}, {dlit(y2)})"
+        for n, x1, y1, x2, y2 in recs["edges"]
+    )
+    cross = pip_crossing_sql("c.px", "c.py", e="e.")
+    return f"""{pages_cte()},
+edges(filename, x1, y1, x2, y2) AS (VALUES {rows}),
+votes AS (
+  SELECT c.url, e.filename, SUM({cross}) AS n
+  FROM cells c, edges e GROUP BY ALL
+)
+SELECT url, filename FROM votes WHERE n % 2 = 1"""
+
+
+QUERIES["rpc_pip_join"] = (q_rpc_pip_join, o_rpc_pip_join)

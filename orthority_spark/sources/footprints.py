@@ -178,3 +178,64 @@ def union_bbox_lonlat() -> tuple[float, float, float, float]:
     lon0, lat0 = world_to_lonlat(xs.min(), ys.min())
     lon1, lat1 = world_to_lonlat(xs.max(), ys.max())
     return float(lon0), float(lat0), float(lon1), float(lat1)
+
+
+# ---------------------------------------------------------------------------
+# RPC camera fixture (satellite-style footprint over the same block)
+# ---------------------------------------------------------------------------
+
+def fixture_rpc_model():
+    """Synthetic RPC camera over the fixture block (coefficient pattern
+    mirrors /root/reference/tests/conftest.py:212-244: linear terms + small
+    cross terms, denominators ~1)."""
+    import numpy as np
+
+    from ..geom.camera import RpcModel
+
+    z = np.zeros(20)
+    line_num = z.copy(); line_num[:5] = [-0.005, -0.033, -1.042, 0.008, -0.001]
+    line_den = z.copy(); line_den[:3] = [1.0, -0.001, -0.002]
+    samp_num = z.copy(); samp_num[:5] = [0.008, 1.016, 0.002, 0.013, 0.001]
+    samp_den = z.copy(); samp_den[:3] = [1.0, -0.002, -0.001]
+    return RpcModel(
+        im_size=(1024, 768),
+        lat_off=-33.6995, lat_scale=0.0015,
+        long_off=24.2005, long_scale=0.002,
+        height_off=825.0, height_scale=500.0,
+        line_off=383.5, line_scale=384.0,
+        samp_off=511.5, samp_scale=512.0,
+        line_num_coeff=line_num, line_den_coeff=line_den,
+        samp_num_coeff=samp_num, samp_den_coeff=samp_den,
+    )
+
+
+def rpc_footprint_records(res: int = config.GRID_RES, name: str = "rpc_0000") -> dict:
+    """Catalog records (edges/cells/polygon) for the RPC footprint at the
+    ground plane z = DEM_OFFSET, in world-metre coordinates."""
+    from ..geom.boundary import pixel_boundary, polygon_bbox, polygon_edges
+    from .. import grid as _grid
+
+    model = fixture_rpc_model()
+    ji = pixel_boundary(model.im_size)
+    lonlat = model.pixel_to_world_z(ji, DEM_OFFSET)
+    poly = np.vstack(
+        [
+            (lonlat[0] - config.LON0) * config.M_PER_DEG,
+            (lonlat[1] - config.LAT0) * config.M_PER_DEG,
+        ]
+    )
+    edges = [
+        (name, float(x1), float(y1), float(x2), float(y2))
+        for x1, y1, x2, y2 in polygon_edges(poly)
+    ]
+    xmin, ymin, xmax, ymax = polygon_bbox(poly)
+    lon0, lat0 = world_to_lonlat(xmin, ymin)
+    lon1, lat1 = world_to_lonlat(xmax, ymax)
+    cells = [
+        (name, int(c))
+        for c in _grid.cells_cover_bbox(
+            float(lon0), float(lat0), float(lon1), float(lat1), res
+        )
+    ]
+    return {"edges": edges, "cells": cells, "polygons": {name: poly},
+            "summary": []}

@@ -78,3 +78,56 @@ def test_checksum_partition_invariance(hashes, n_parts):
     # any split of the list sums to the same value
     chunks = np.array_split(np.array(hashes, dtype=object), n_parts)
     assert sum(int(sum(int(h) % M for h in c)) for c in chunks) == total
+
+
+camera_kw = dict(
+    im_size=(200, 150), focal_len=5.0, sensor_size=(6.0, 4.5),
+    cx=-0.01, cy=0.02,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(min_value=-0.1, max_value=0.1),   # omega
+    st.floats(min_value=-0.1, max_value=0.1),   # phi
+    st.floats(min_value=-3.0, max_value=3.0),   # kappa
+    st.floats(min_value=500.0, max_value=5000.0),  # camera height above ground
+    st.sampled_from(["pinhole", "brown"]),
+)
+def test_camera_roundtrip_property(o, p, k, h, cam_type):
+    """pixel -> world -> pixel identity holds for any near-nadir pose and
+    flying height, any supported model (the reference's 0.1 px contract
+    generalised over the pose space)."""
+    from orthority_spark.geom.camera import FrameModel
+
+    dist = {} if cam_type == "pinhole" else dict(
+        k1=-0.1, k2=0.05, p1=0.005, p2=-0.003, k3=0.0
+    )
+    m = FrameModel(cam_type=cam_type, dist=dist,
+                   xyz=(0.0, 0.0, h), opk=(o, p, k), **camera_kw)
+    ji = np.vstack([
+        np.linspace(5, 194, 25),
+        np.linspace(5, 144, 25),
+    ])
+    xyz = m.pixel_to_world_z(ji, 0.0)
+    back = m.world_to_pixel(xyz)
+    assert np.abs(back - ji).max() < 0.1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(min_value=-0.002, max_value=0.002),
+    st.floats(min_value=-0.0015, max_value=0.0015),
+    st.floats(min_value=500.0, max_value=1200.0),
+)
+def test_rpc_roundtrip_property(dlon, dlat, z):
+    """RPC inverse recovers any in-scene point at any height."""
+    from orthority_spark.sources.footprints import fixture_rpc_model
+
+    m = fixture_rpc_model()
+    lon = m.long_off + dlon
+    lat = m.lat_off + dlat
+    ji = m.world_to_pixel(np.array([[lon], [lat], [z]]))
+    xyz = m.pixel_to_world_z(ji, z)
+    assert abs(xyz[0, 0] - lon) < 1e-9
+    assert abs(xyz[1, 0] - lat) < 1e-9
