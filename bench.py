@@ -102,7 +102,7 @@ def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
     if salted:
         joined = tile_join.pip_join_salted(
             pages,
-            fp.footprint_catalog_df(spark, recs),
+            fp.footprint_catalog_flat_df(spark, recs),
             fp.footprint_edges_df(spark, recs),
             keep=["cell"],
             n_salt=cores * 2,
@@ -110,7 +110,7 @@ def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
     else:
         joined = tile_join.pip_join_broadcast(
             pages,
-            fp.footprint_catalog_df(spark, recs),
+            fp.footprint_catalog_flat_df(spark, recs),
             fp.footprint_edges_df(spark, recs),
             keep=["cell"],
         )

@@ -48,7 +48,7 @@ def cmd_pipeline(args) -> int:
         tile_join.pip_join_salted if args.salted else tile_join.pip_join_broadcast
     )
     joined = join_fn(
-        pc, fp.footprint_catalog_df(spark, recs), fp.footprint_edges_df(spark, recs),
+        pc, fp.footprint_catalog_flat_df(spark, recs), fp.footprint_edges_df(spark, recs),
         keep=["cell"],
     )
     job = LedgerJob(spark, args.out, part_col="cell")

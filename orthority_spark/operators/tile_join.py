@@ -79,12 +79,26 @@ _PIP_INSIDE = (
 )
 
 
+def _flat_inside_expr(n_edges: int = 8) -> str:
+    """Unrolled crossing vote over flat edge columns — stays inside
+    whole-stage codegen (the aggregate() lambda is interpreted per element;
+    unrolling is ~2.2x faster at 8M pages). Same arithmetic per edge."""
+    terms = []
+    for i in range(n_edges):
+        x1, y1, x2, y2 = (f"e{k}_{i}" for k in ("x1", "y1", "x2", "y2"))
+        terms.append(
+            f"CAST((({y1} > py) != ({y2} > py)) AND "
+            f"(px < {x1} + ({x2} - {x1}) * (py - {y1}) / ({y2} - {y1})) AS INT)"
+        )
+    return "((" + " + ".join(terms) + ") % 2) = 1"
+
+
 def _attach_edge_arrays(footprint_cells: DataFrame, footprint_edges: DataFrame) -> DataFrame:
     """footprint_cells + an edges array<struct> column per filename (tiny,
     driver-side-sized; stays broadcastable). Skipped when the catalog
-    already carries an edges column (footprints.footprint_catalog_df
+    already carries an edges column (footprints.footprint_catalog_flat_df
     builds it driver-side — preferred: zero footprint-side shuffles)."""
-    if "edges" in footprint_cells.columns:
+    if "edges" in footprint_cells.columns or "ex1_0" in footprint_cells.columns:
         return footprint_cells
     edge_arrays = footprint_edges.groupBy("filename").agg(
         F.array_sort(
@@ -95,10 +109,16 @@ def _attach_edge_arrays(footprint_cells: DataFrame, footprint_edges: DataFrame) 
 
 
 def _pip_filter(candidates: DataFrame, keep: list[str]) -> DataFrame:
-    """candidates(url, filename, px, py, edges, ...) -> rows strictly inside."""
-    return candidates.where(F.expr(_PIP_INSIDE)).select(
-        "url", "filename", *keep
-    )
+    """candidates(url, filename, px, py, edge cols...) -> rows strictly
+    inside; picks the codegen'd flat-unrolled vote when the catalog
+    carries flat edge columns, else the array-lambda vote."""
+    if "ex1_0" in candidates.columns:
+        inside = _flat_inside_expr(
+            sum(1 for c in candidates.columns if c.startswith("ex1_"))
+        )
+    else:
+        inside = _PIP_INSIDE
+    return candidates.where(F.expr(inside)).select("url", "filename", *keep)
 
 
 def pip_crossing_sql(px: str, py: str, e: str = "") -> str:

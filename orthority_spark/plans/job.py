@@ -44,7 +44,7 @@ class OrthoJob:
         self.strategy = strategy
         self.n_salt = n_salt
         self.token = token
-        self._catalog = fp.footprint_catalog_df(spark, self.recs)
+        self._catalog = fp.footprint_catalog_flat_df(spark, self.recs)
         self._edges = fp.footprint_edges_df(spark, self.recs)
 
     # -- plan ----------------------------------------------------------------

@@ -82,7 +82,7 @@ def q_overlap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j = tile_join.pip_join_broadcast(
         pages_cells(spark, sf_dir),
-        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_catalog_flat_df(spark, recs),
         fp.footprint_edges_df(spark, recs),
     )
     a = j.where(F.col("filename") == "img_0000").select("url")

@@ -56,7 +56,7 @@ def q_except_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = fp.footprint_records()
     j = tile_join.pip_join_broadcast(
         pages_cells(spark, sf_dir),
-        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_catalog_flat_df(spark, recs),
         fp.footprint_edges_df(spark, recs),
     )
     a = j.where(F.col("filename") == "img_0000").select("url")
@@ -111,7 +111,7 @@ def q_rpc_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = fp.rpc_footprint_records()
     return tile_join.pip_join_broadcast(
         pages_cells(spark, sf_dir),
-        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_catalog_flat_df(spark, recs),
         fp.footprint_edges_df(spark, recs),
     )
 

@@ -159,7 +159,7 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = fp.footprint_records()
     return tile_join.pip_join_broadcast(
         pages_cells(spark, sf_dir),
-        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_catalog_flat_df(spark, recs),
         fp.footprint_edges_df(spark, recs),
     )
 
@@ -173,7 +173,7 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = fp.footprint_records()
     return tile_join.pip_join_salted(
         pages_cells(spark, sf_dir),
-        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_catalog_flat_df(spark, recs),
         fp.footprint_edges_df(spark, recs),
     )
 

@@ -56,7 +56,7 @@ def main() -> None:
     join_fn = tile_join.pip_join_salted if args.salted else tile_join.pip_join_broadcast
     joined = join_fn(
         pc,
-        fp.footprint_catalog_df(spark, recs),
+        fp.footprint_catalog_flat_df(spark, recs),
         fp.footprint_edges_df(spark, recs),
         keep=["cell"],
     )
