@@ -44,14 +44,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, sh): distinct word-n-gram shingles."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i+{k}]" for k in range(n))
+    parts = ", ".join(f"l[i+{k}]" for k in range(n))
     return (
-        df.select(
+        df.withColumn("l", F.split(F.col(text_col), " "))
+        .select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, size({toks}) - {n}), "
+                    f"transform(sequence(0, size(l) - {n}), "
                     f"i -> concat_ws(' ', {parts}))"
                 )
             ).alias("sh"),
@@ -94,6 +94,7 @@ def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
             ).alias("band_sig")
         )
     )
+    bands = bands.persist()  # both self-join sides reuse the computation
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "band_sig"])

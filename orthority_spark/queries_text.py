@@ -56,16 +56,20 @@ WITH tokens AS (
 
 
 def _shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, sh) distinct word-3-gram shingles."""
+    """(doc_id, sh) distinct word-3-gram shingles.
+
+    The token array is bound to a column FIRST so split() evaluates once
+    per row — inlining it into the lambda re-evaluates the split per
+    subscript access."""
     return (
         _docs(spark, sf_dir)
+        .withColumn("l", F.split(F.col("text"), " "))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3), "
-                    "i -> concat_ws(' ', split(text, ' ')[i], "
-                    "split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                    "transform(sequence(0, size(l) - 3), "
+                    "i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
                 )
             ).alias("sh"),
         )
@@ -192,8 +196,12 @@ def o_minhash_signatures() -> str:
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: candidate near-dup pairs sharing any band signature."""
-    b = _band_sigs(spark, sf_dir)
+    """LSH banding: candidate near-dup pairs sharing any band signature.
+
+    The band-signature table is persisted before the self-join: both join
+    sides reference the same tiny intermediate, and without it Spark would
+    recompute the whole shingle->minhash pipeline twice."""
+    b = _band_sigs(spark, sf_dir).persist()
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, ["band", "band_sig"])
