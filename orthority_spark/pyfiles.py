@@ -17,12 +17,26 @@ import zipfile
 _SENTINEL = "_orthority_spark_pyfile_added"
 
 
+def _content_hash(pkg_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                h.update(open(os.path.join(root, f), "rb").read())
+    return h.hexdigest()[:12]
+
+
 def package_zip(out_path: str | None = None) -> str:
-    """Zip the orthority_spark package (idempotent, content-addressed by
-    mtime-free rebuild per process)."""
+    """Zip the orthority_spark package. The default path is
+    content-addressed (md5 of all sources) so a stale zip from an earlier
+    build can never shadow current code on the driver/executors."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out_path = out_path or os.path.join(
-        tempfile.gettempdir(), f"orthority_spark_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"orthority_spark_{_content_hash(pkg_dir)}.zip"
     )
     if not os.path.exists(out_path):
         with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
