@@ -50,7 +50,7 @@ LEVELS = [2, 8, CPUS]
 # rounds per level (asymmetric: the cheap high-core sessions get more
 # samples so the min-estimator converges under this host's drifting noise;
 # each session = cold run incl. codegen compile + steady run)
-ROUNDS = {2: 4, 8: 5, CPUS: 5}
+ROUNDS = {2: 3, 8: 4, CPUS: 4}
 
 BENCH_QUERIES = [
     "pip_join",
