@@ -47,8 +47,16 @@ def world_footprint(model, z: float, num_pts: int | None = None) -> np.ndarray:
 
 
 def polygon_area(xy: np.ndarray) -> float:
-    """Shoelace area of a (2,N) polygon (ortho.py:212-218)."""
-    x, y = xy[0], xy[1]
+    """Shoelace area of a (2,N) polygon (ortho.py:212-218).
+
+    Coordinates are centroid-shifted before the shoelace sum: the raw
+    cross-products are O(|coord|^2) and cancel to O(area), so a small
+    polygon far from the origin loses ~|offset|^2/area relative digits
+    to catastrophic cancellation. The shift is mathematically exact
+    (area is translation-invariant) and keeps each term O(diameter^2).
+    """
+    x = xy[0] - xy[0].mean()
+    y = xy[1] - xy[1].mean()
     return float(
         0.5 * np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
     )

@@ -77,17 +77,26 @@ def aa_to_opk(aa) -> tuple[float, float, float]:
     return rotation_to_opk(R)
 
 
-# body (nose-right-down) frame to north-aligned locally-level E frame:
-# x_E = east <- y_b, y_E = north <- x_b, z_E = up <- -z_b
-# (/root/reference/orthority/param_io.py:753-835; the reference aligns to
-# grid north with a finite-difference pyproj probe — this engine's world
-# frame is an exact north-aligned equirectangular plane, so C_EB is the
-# constant swap matrix and no probe is needed)
-C_EB = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+# navigation (NED: x north, y east, z down) frame to north-aligned
+# locally-level ENU world frame: x_E = east <- y_n, y_E = north <- x_n,
+# z_E = up <- -z_n.  The reference aligns to grid north with a
+# finite-difference pyproj probe (/root/reference/orthority/param_io.py:
+# 808-826, C_En); this engine's world frame is an exact north-aligned
+# plane, so C_En is the constant swap matrix and no probe is needed.
+C_EN = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+
+# camera (PATB: x right, y top, z back) to body (x front, y right, z down)
+# rotation — typical drone geometry, /root/reference/orthority/param_io.py:830.
+C_BODY = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, -1.0]])
+
+# kept for backward compatibility with earlier callers/tests
+C_EB = C_EN
 
 
 def rpy_to_opk(rpy) -> tuple[float, float, float]:
     """(roll, pitch, yaw) radians -> (omega, phi, kappa), PATB, for a
-    north-aligned world frame (P10 recast; rpy == 0 => nadir view)."""
-    R = C_EB @ rpy_to_rotation(rpy)
-    return rotation_to_opk(R @ PATB_TO_CV)
+    north-aligned world frame (P10 recast; rpy == 0 => nadir view with
+    image-top facing north, matching the reference C_En @ C_nb @ C_bB
+    composition at param_io.py:833)."""
+    R = C_EN @ rpy_to_rotation(rpy) @ C_BODY
+    return rotation_to_opk(R)

