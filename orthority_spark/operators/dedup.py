@@ -82,19 +82,29 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """(id_a, id_b): pairs sharing >= 1 band signature."""
+    """(id_a, id_b): pairs sharing >= 1 band signature.
+
+    The band signature is order-exact — md5 over the band's signatures
+    concatenated in perm order — so distinct signature tuples never
+    collide into one bucket at any ``rows_per_band`` (an unordered sum
+    would for bands of > 2 rows). The self-join sides are identical
+    subplans, so Catalyst's ReusedExchange computes the band table once
+    without pinning it in the block store."""
     bands = (
         sigs.withColumn("band", F.expr(f"perm DIV {rows_per_band}"))
         .groupBy("id", "band")
         .agg(
-            F.sum(
-                F.when(
-                    F.col("perm") % rows_per_band == 0, F.col("sig") * F.lit(P31)
-                ).otherwise(F.col("sig"))
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "sig"))),
+                        lambda s: s["sig"].cast("string"),
+                    ),
+                )
             ).alias("band_sig")
         )
     )
-    bands = bands.persist()  # both self-join sides reuse the computation
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "band_sig"])

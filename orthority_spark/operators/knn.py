@@ -60,19 +60,35 @@ def knn_kring(
     its own cell with zero blow-up and no shuffle when the expanded index
     still broadcasts.
     """
+    # decode (res, ix, iy), wrap ix around the antimeridian (mod 2^res) and
+    # drop out-of-range iy — mirrors grid.k_ring exactly, so neighborhoods
+    # crossing the +-180 lon seam or the lat poles stay correct
     expanded = (
         footprint_cells.select("filename", "cell")
+        .withColumn("res", F.expr("shiftright(cell, 52)"))
+        .withColumn(
+            "ix", F.expr(f"shiftright(cell, 26) & {grid.IX_FACTOR - 1}")
+        )
+        .withColumn("iy", F.expr(f"cell & {grid.IX_FACTOR - 1}"))
+        .withColumn(
+            "n", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(res AS INT))")
+        )
         .withColumn(
             "d", F.expr(f"explode(sequence(CAST(-{ring} AS BIGINT), {ring}))")
         )
         .withColumn(
             "d2", F.expr(f"explode(sequence(CAST(-{ring} AS BIGINT), {ring}))")
         )
+        .where(
+            (F.col("iy") + F.col("d2") >= 0) & (F.col("iy") + F.col("d2") < F.col("n"))
+        )
         .select(
             "filename",
             (
-                F.col("cell")
-                + F.col("d") * F.lit(grid.IX_FACTOR).cast("long")
+                F.col("res") * F.lit(grid.RES_FACTOR).cast("long")
+                + F.pmod(F.col("ix") + F.col("d"), F.col("n"))
+                * F.lit(grid.IX_FACTOR).cast("long")
+                + F.col("iy")
                 + F.col("d2")
             ).alias("cell"),
         )

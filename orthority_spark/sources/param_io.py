@@ -134,11 +134,14 @@ def read_ext_param_csv(file: str | Path) -> tuple[list[dict], str]:
     (param_io.py:959). Format dispatch = column-presence check (the
     CsvFormat enum, enums.py:123-143)."""
     text = Path(file).read_text()
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        raise ParamFileError(f"empty exterior parameter CSV: {file}")
     try:
-        dialect = csv.Sniffer().sniff(text.splitlines()[0])
+        dialect = csv.Sniffer().sniff(lines[0])
     except csv.Error:
         dialect = csv.excel
-    rows = list(csv.reader(text.splitlines(), dialect))
+    rows = list(csv.reader(lines, dialect))
     header = rows[0]
 
     def _is_number(s: str) -> bool:
@@ -161,12 +164,16 @@ def read_ext_param_csv(file: str | Path) -> tuple[list[dict], str]:
     )
     if fmt is None:
         raise ParamFileError(f"unrecognised CSV fields: {fields}")
+    # only the known numeric fields are cast; any extra column (which the
+    # reference CsvReader tolerates through its type schema) passes
+    # through as a string instead of raising ValueError
+    numeric = set().union(*CSV_FORMATS.values())
     out = []
     for r in data_rows:
         if not r:
             continue
         rec = dict(zip(fields, r))
-        for k in fieldset - {"filename", "camera", "other"}:
+        for k in fieldset & numeric:
             rec[k] = float(rec[k])
         out.append(rec)
     return out, fmt

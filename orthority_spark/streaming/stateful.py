@@ -21,11 +21,27 @@ OUT_SCHEMA = "user_id long, event_id long, session_id long"
 STATE_SCHEMA = "last_ts double, session_id long"
 
 
-def _make_sessionizer(with_timeout: bool):
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "event_id": pd.Series(dtype="int64"),
+            "session_id": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def _make_sessionizer(with_timeout: bool, gap_s: float, timeout_ms: int):
     def _sessionize_group(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        gap_s = 1800.0
+        if with_timeout and state.hasTimedOut:
+            # eviction invocation: no data — drop the state, emit nothing,
+            # and do NOT re-arm the timeout (re-arming would keep the
+            # entry alive forever and the store would grow unboundedly)
+            state.remove()
+            yield _empty_out()
+            return
         if state.exists:
             last_ts, session_id = state.get
         else:
@@ -41,20 +57,27 @@ def _make_sessionizer(with_timeout: bool):
                 out.append((key[0], r.event_id, session_id))
         state.update((last_ts, session_id))
         if with_timeout:
-            state.setTimeoutDuration(3600 * 1000)
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(out, columns=["user_id", "event_id", "session_id"])
 
     return _sessionize_group
 
 
-def sessionize_stream(events_stream: DataFrame, evict_state: bool = False) -> DataFrame:
+def sessionize_stream(
+    events_stream: DataFrame,
+    evict_state: bool = False,
+    gap_s: float = 1800.0,
+    timeout_ms: int = 3600 * 1000,
+) -> DataFrame:
     """events(user_id, ts, event_id) stream -> (user_id, event_id,
     session_id) with cross-trigger session state.
 
     ``evict_state=True`` enables the processing-time state timeout —
     required on continuous deployments so the per-user state store stays
-    bounded at 10^12 scale; leave False for availableNow drains (the
-    timeout machinery never fires there and stalls query termination).
+    bounded at 10^12 scale: an idle user's state entry is removed
+    ``timeout_ms`` after its last event (a later event starts a fresh
+    session numbering). Leave False for availableNow drains (the timeout
+    machinery never fires there and stalls query termination).
     """
     from ..pyfiles import ensure_on_executors
 
@@ -68,7 +91,7 @@ def sessionize_stream(events_stream: DataFrame, evict_state: bool = False) -> Da
         events_stream.select("user_id", "ts", "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_sessionizer(evict_state),
+            _make_sessionizer(evict_state, gap_s, timeout_ms),
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

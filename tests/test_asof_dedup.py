@@ -97,3 +97,23 @@ def test_simhash64_similar_docs_close(spark):
     ham02 = bin(out[0] ^ out[2]).count("1")
     assert ham01 < ham02  # near-identical docs are closer in hamming space
     assert ham01 <= 8
+
+
+def test_lsh_band_sig_is_order_exact(spark):
+    """rows_per_band > 2: bands whose signature TUPLES differ must not
+    collide even when their multisets (and anchor) agree; identical
+    tuples must still bucket together."""
+    from orthority_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = []
+    for perm, (s1, s2, s3) in enumerate(
+        zip([5, 7, 11, 13], [5, 13, 11, 7], [5, 7, 11, 13])
+    ):
+        rows += [(1, perm, s1), (2, perm, s2), (3, perm, s3)]
+    sigs = spark.createDataFrame(rows, "id long, perm int, sig long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, rows_per_band=4).collect()
+    }
+    # 1 and 3 share the identical band tuple; 2 only shares the multiset
+    assert got == {(1, 3)}

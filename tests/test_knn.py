@@ -51,3 +51,54 @@ def test_kring_ring_too_small_never_invents_candidates(spark, inputs):
         (u, f) for u, _r, f in _rows(knn_kring(pages, cells, summary, k=2, ring=1))
     }
     assert small_pairs <= brute_pairs
+
+
+def test_kring_wraps_antimeridian(spark):
+    """A footprint cell just west of +180 must reach a page just east of
+    -180 through the wrapped ring (plain cell arithmetic misses it)."""
+    res = 8
+    page_cell = int(grid.cell_index(np.array([10.0]), np.array([-179.9]), res)[0])
+    fp_cell = int(grid.cell_index(np.array([10.0]), np.array([179.9]), res)[0])
+    pages = spark.createDataFrame(
+        [("u1", -179.9, 10.0, page_cell)], "url string, px double, py double, cell long"
+    )
+    cells = spark.createDataFrame([("f1", fp_cell)], "filename string, cell long")
+    summary = spark.createDataFrame(
+        [("f1", 179.9, 10.0)], "filename string, cx double, cy double"
+    )
+    got = knn_kring(pages, cells, summary, k=1, ring=1).collect()
+    assert len(got) == 1 and got[0].filename == "f1"
+
+
+def test_kring_expansion_matches_grid_k_ring_at_edges(spark):
+    """knn_kring's SQL ring expansion must match grid.k_ring exactly at the
+    grid edges: a footprint in the TOP lat row near the +-180 seam reaches
+    wrapped-lon neighbors and drops over-the-pole rows."""
+    res, ring = 8, 2
+    fp_cell = int(grid.cell_index(np.array([89.9]), np.array([179.9]), res)[0])
+    expected = set(int(c) for c in grid.k_ring(fp_cell, ring))
+    # one page per cell in a lon x lat patch spanning the seam and the pole
+    pages_rows = []
+    patch = []
+    for lon in np.arange(176.0, 180.0, 1.4) .tolist() + np.arange(-180.0, -175.0, 1.4).tolist():
+        for lat in np.arange(85.0, 90.0, 0.7).tolist():
+            c = int(grid.cell_index(np.array([lat]), np.array([lon]), res)[0])
+            patch.append(c)
+    patch = sorted(set(patch))
+    pages_rows = [(f"u{c}", 0.0, 0.0, c) for c in patch]
+    pages = spark.createDataFrame(
+        pages_rows, "url string, px double, py double, cell long"
+    )
+    cells = spark.createDataFrame([("f1", fp_cell)], "filename string, cell long")
+    summary = spark.createDataFrame(
+        [("f1", 0.0, 0.0)], "filename string, cx double, cy double"
+    )
+    got = {
+        int(r.url[1:])
+        for r in knn_kring(pages, cells, summary, k=1, ring=ring).collect()
+    }
+    assert got == (expected & set(patch))
+    assert any(  # the patch really does cross the seam into wrapped cells
+        c in expected for c in patch
+        if grid.cell_decode(np.array([c]))[1][0] < 2  # ix 0/1 = just east of -180
+    )

@@ -120,3 +120,21 @@ def test_validate_collection_shapes():
         validate_collection({"a": [int]}, {"a": 3})
     with pytest.raises(ParamFileError, match="expected int"):
         validate_collection({"a": [int]}, {"a": ["x"]})
+
+
+def test_csv_extra_string_column_passes_through(tmp_path):
+    f = tmp_path / "ext.csv"
+    f.write_text(
+        "filename,x,y,z,omega,phi,kappa,notes\n"
+        "img_1.tif,1.0,2.0,3.0,0.1,0.2,0.3,first flight\n"
+    )
+    recs, fmt = read_ext_param_csv(f)
+    assert fmt == "xyz_opk"
+    assert recs[0]["x"] == 1.0 and recs[0]["notes"] == "first flight"
+
+
+def test_csv_empty_file_raises_param_error(tmp_path):
+    f = tmp_path / "empty.csv"
+    f.write_text("")
+    with pytest.raises(ParamFileError):
+        read_ext_param_csv(f)

@@ -55,3 +55,67 @@ def test_checkpointed_restart_is_noop(spark, pages_dir, tmp_path):
     progress = q2.lastProgress
     assert n1 == N
     assert progress is None or progress["numInputRows"] == 0
+
+
+def test_stateful_eviction_processing_time(spark, tmp_path):
+    """evict_state=True must REMOVE idle state on ProcessingTimeTimeout:
+    after the timeout fires, a later event for the same user restarts
+    session numbering at 1 (retained state would continue at 2), and the
+    eviction invocation itself emits no rows."""
+    import datetime as dt
+    import time
+
+    from orthority_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+
+    def add_file(rows, name):
+        d = stage / name
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ).coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        part.rename(src / f"{name}.parquet")
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    add_file([(1, t0, 100)], "b1")
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long"
+    ).parquet(str(src))
+    q = (
+        sessionize_stream(stream, evict_state=True, timeout_ms=1500)
+        .writeStream.format("memory")
+        .queryName("evict_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        def rows():
+            return spark.sql(
+                "SELECT * FROM evict_t ORDER BY event_id"
+            ).collect()
+
+        deadline = time.time() + 60
+        while len(rows()) < 1 and time.time() < deadline:
+            time.sleep(0.3)
+        assert [(r.event_id, r.session_id) for r in rows()] == [(100, 1)]
+
+        # idle past the 1.5 s timeout: no-data micro-batches fire the
+        # eviction invocation (state removed, nothing emitted)
+        time.sleep(5.0)
+        assert len(rows()) == 1
+
+        # event-time gap > 1800 s: retained state would number this
+        # session 2; evicted state restarts at 1
+        add_file([(1, t0 + dt.timedelta(hours=2), 101)], "b2")
+        while len(rows()) < 2 and time.time() < deadline:
+            time.sleep(0.3)
+        got = [(r.event_id, r.session_id) for r in rows()]
+        assert got == [(100, 1), (101, 1)], got
+    finally:
+        q.stop()
