@@ -65,54 +65,85 @@ class LedgerJob:
         hash Column for the order-independent partition checksum.
         ``max_partitions`` simulates a crash after N partitions (tests).
         Returns run metrics.
+
+        Scale shape (holds at 10^6+ partitions): the pipeline is computed
+        ONCE (the partitioned output write); the ledger is derived by
+        re-aggregating the WRITTEN files, never by recomputing the input
+        pipeline. Completed keys are excluded with anti-joins against the
+        ledger table — no driver-side key list ever enters a plan — and
+        ledger rows are appended distributed (no collect of per-partition
+        aggregates). Run metrics come from one scalar aggregate over the
+        just-appended ledger slice.
         """
         run_id = uuid.uuid4().hex[:12]
-        pending = data.join(
-            self.completed_keys(), self.part_col, "left_anti"
-        )
+        done = self.completed_keys()
+        pending = data.join(done, self.part_col, "left_anti")
+        if max_partitions is not None:
+            # crash simulation (tests): keep the N smallest pending keys —
+            # a distinct + limit over keys only, never a key list literal
+            keys = (
+                pending.select(self.part_col)
+                .distinct()
+                .orderBy(self.part_col)
+                .limit(max_partitions)
+            )
+            pending = pending.join(F.broadcast(keys), self.part_col)
         t0 = time.perf_counter()
-        # one pass: per-partition aggregation (rows + checksum + payload)
-        agg = (
-            pending.withColumn("_h", hash_col)
-            .groupBy(self.part_col)
+        if pending.isEmpty():
+            return {
+                "run_id": run_id,
+                "partitions_processed": 0,
+                "rows_processed": 0,
+            }
+        # single pass over the pipeline: idempotent per-partition output
+        # (dynamic overwrite by key; a re-run of a partition that crashed
+        # before its ledger append overwrites and converges)
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.part_col)
+            .parquet(self.out_dir)
+        )
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        # ledger rows from the WRITTEN output: every partition on disk but
+        # not yet in the ledger belongs to this run (including orphans of
+        # a previous crashed run, whose data this run just rewrote)
+        written = self.spark.read.parquet(self.out_dir).join(
+            done.withColumnRenamed(self.part_col, "part_key"),
+            F.col(self.part_col) == F.col("part_key"),
+            "left_anti",
+        )
+        ledger_new = (
+            written.withColumn("_h", hash_col)
+            .groupBy(F.col(self.part_col).cast("long").alias("part_key"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum("_h").alias("checksum"),
             )
-        )
-        rows = agg.collect()
-        if max_partitions is not None:
-            rows = rows[:max_partitions]
-        done_keys = [r[self.part_col] for r in rows]
-        if done_keys:
-            # idempotent per-partition output (dynamic overwrite by key)
-            out = pending.where(F.col(self.part_col).isin(done_keys))
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(self.part_col)
-                .parquet(self.out_dir)
+            .select(
+                "part_key",
+                F.lit(run_id).alias("run_id"),
+                F.col("n_rows").alias("input_fingerprint"),
+                "n_rows",
+                "checksum",
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.lit(time.time()).cast("double").alias("finished_at"),
             )
-            wall_ms = int((time.perf_counter() - t0) * 1000)
-            ledger_rows = [
-                (
-                    int(r[self.part_col]),
-                    run_id,
-                    int(r["n_rows"]),  # fingerprint: input row count
-                    int(r["n_rows"]),
-                    int(r["checksum"]),
-                    wall_ms,
-                    time.time(),
-                )
-                for r in rows
-            ]
-            self.spark.createDataFrame(ledger_rows, LEDGER_SCHEMA).coalesce(
-                1
-            ).write.mode("append").parquet(self.ledger_dir)
+        )
+        ledger_new.write.mode("append").parquet(self.ledger_dir)
+        m = (
+            self.ledger()
+            .where(F.col("run_id") == run_id)
+            .agg(
+                F.count(F.lit(1)).alias("p"),
+                F.sum("n_rows").alias("r"),
+            )
+            .first()
+        )
         return {
             "run_id": run_id,
-            "partitions_processed": len(done_keys),
-            "rows_processed": int(sum(r["n_rows"] for r in rows)),
+            "partitions_processed": int(m.p),
+            "rows_processed": int(m.r or 0),
         }
 
     def metrics(self) -> DataFrame:

@@ -204,6 +204,77 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dem_z_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point bilinear DEM z sample (J6 gather / A3 recast): pages
+    equi-joined to their owning DEM tile, Arrow kernel interpolates. The
+    oracle recomputes the float32 sinusoid block values analytically and
+    blends with identical arithmetic."""
+    from .operators.raster_join import sample_dem_z
+    from .sources.dem_tiles import fixture_dem
+
+    pc = pages_cells(spark, sf_dir).select("url", "px", "py")
+    return sample_dem_z(pc, fixture_dem(spark), band=1)
+
+
+def o_dem_z_sample() -> str:
+    from .geom.dem import DEM_GAIN, DEM_OFFSET, DEM_RES
+    from .sources.dem_tiles import TILE
+
+    a, c0, e, f0 = DEM_RES, 18000.0, -DEM_RES, 31500.0
+    ncols, nrows = 160, 128
+    den = 20.0 * DEM_RES
+
+    def zval(r: str, cc: str) -> str:
+        # float32 block value at global cell (r, cc), pixel-center sampled
+        x = f"({dlit(a)} * (({cc}) + 0.5) + {dlit(c0)})"
+        y = f"({dlit(e)} * (({r}) + 0.5) + {dlit(f0)})"
+        return (
+            f"CAST({dlit(DEM_OFFSET)} + {dlit(DEM_GAIN)} * "
+            f"(SIN({x} / {dlit(den)}) * COS({y} / {dlit(den)})) AS REAL)"
+        )
+
+    z00 = zval("row_off + r0", "col_off + cc0")
+    z01 = zval("row_off + r0", "col_off + cc0 + 1")
+    z10 = zval("row_off + r0 + 1", "col_off + cc0")
+    z11 = zval("row_off + r0 + 1", "col_off + cc0 + 1")
+    znn = zval(
+        "row_off + LEAST(GREATEST(CAST(FLOOR(fr + 0.5) AS BIGINT), 0), h - 1)",
+        "col_off + LEAST(GREATEST(CAST(FLOOR(fc + 0.5) AS BIGINT), 0), w - 1)",
+    )
+    return f"""{pages_cte()}, dem_pts AS (
+  SELECT url, px, py,
+         CAST(FLOOR((px - {dlit(c0)}) / {dlit(a)}) AS BIGINT) AS gcol,
+         CAST(FLOOR((py - {dlit(f0)}) / {dlit(e)}) AS BIGINT) AS grow
+  FROM cells
+), own AS (
+  SELECT url, px, py, gcol - gcol % {TILE} AS col_off,
+         grow - grow % {TILE} AS row_off
+  FROM dem_pts
+  WHERE gcol >= 0 AND gcol < {ncols} AND grow >= 0 AND grow < {nrows}
+), geom AS (
+  SELECT url, px, py, col_off, row_off,
+         LEAST({TILE}, {ncols} - col_off) AS w,
+         LEAST({TILE}, {nrows} - row_off) AS h,
+         (px - {dlit(c0)}) / {dlit(a)} - 0.5 - col_off AS fc,
+         (py - {dlit(f0)}) / {dlit(e)} - 0.5 - row_off AS fr
+  FROM own
+), st AS (
+  SELECT *, CAST(FLOOR(fc) AS BIGINT) AS r_c0, CAST(FLOOR(fr) AS BIGINT) AS r_r0
+  FROM geom
+), cl AS (
+  SELECT *, LEAST(GREATEST(r_c0, 0), w - 2) AS cc0,
+         LEAST(GREATEST(r_r0, 0), h - 2) AS r0,
+         fc - r_c0 AS wc, fr - r_r0 AS wr
+  FROM st
+)
+SELECT url,
+  CASE WHEN r_c0 >= 0 AND r_c0 < w - 1 AND r_r0 >= 0 AND r_r0 < h - 1 THEN
+    {z00} * (1 - wr) * (1 - wc) + {z01} * (1 - wr) * wc
+    + {z10} * wr * (1 - wc) + {z11} * wr * wc
+  ELSE {znn} END AS z
+FROM cl"""
+
+
 def q_pan_sharpen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pan-sharpen pass-1 stats (A1) over lineitem numeric 'bands' —
     float covariances (partition-invariance pytest-held to 1e-9)."""
@@ -223,6 +294,7 @@ QUERIES = {
     "semi_join_active": (q_semi_join_active, o_semi_join_active),
     "overlap_pages": (q_overlap_pages, o_overlap_pages),
     "dem_tile_assign": (q_dem_tile_assign, o_dem_tile_assign),
+    "dem_z_sample": (q_dem_z_sample, o_dem_z_sample),
     "remap_checksums": (q_remap_checksums, None),
     "ray_dem_footprints": (q_ray_dem_footprints, None),
     "image_features": (q_image_features, None),

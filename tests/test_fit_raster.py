@@ -137,3 +137,54 @@ def test_sample_dem_z_matches_surface(spark):
     # plane band is exact
     got2 = {r.url: r.z for r in sample_dem_z(pts, dem, band=2).collect()}
     assert all(abs(v - DEM_OFFSET) < 1e-6 for v in got2.values())
+
+
+def test_sample_dem_z_matches_scalar_twin(spark):
+    """Vectorized per-tile gather == per-point scalar arithmetic (bit
+    parity), including border points that take the nearest-cell fallback."""
+    from orthority_spark.sources.dem_tiles import dem_transform, TILE
+
+    dem = fixture_dem(spark)
+    a, _, c, _, e, f0 = dem_transform(18000.0, 31500.0)
+    rng = np.random.RandomState(11)
+    # cluster points NEAR tile borders so the fallback path is exercised
+    base_x = 18000.0 + 64 * 30.0  # border between col tiles 0 and 64
+    px = np.concatenate([
+        rng.uniform(19900, 20200, 60),
+        base_x + rng.uniform(-45, 45, 40),
+    ])
+    py = np.concatenate([
+        rng.uniform(29950, 30150, 60),
+        31500.0 - 64 * 30.0 + rng.uniform(-45, 45, 40),
+    ])
+    pts = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(zip(px, py))],
+        "url string, px double, py double")
+    got = {r.url: r.z for r in sample_dem_z(pts, dem, band=1).collect()}
+
+    blocks = {
+        (r.dem_tile_id, r.band): r
+        for r in dem.where("band = 1").collect()
+    }
+    n_border = 0
+    for i, (x, y) in enumerate(zip(px, py)):
+        gc = int(np.floor((x - c) / a))
+        gr = int(np.floor((y - f0) / e))
+        t = blocks[(f"{gr - gr % TILE}:{gc - gc % TILE}", 1)]
+        blk = np.asarray(t.block, dtype="float64").reshape(t.height, t.width)
+        fc = (x - c) / a - 0.5 - t.col_off
+        fr = (y - f0) / e - 0.5 - t.row_off
+        c0, r0 = int(np.floor(fc)), int(np.floor(fr))
+        if 0 <= c0 < t.width - 1 and 0 <= r0 < t.height - 1:
+            wc, wr = fc - c0, fr - r0
+            z = (blk[r0, c0] * (1 - wr) * (1 - wc)
+                 + blk[r0, c0 + 1] * (1 - wr) * wc
+                 + blk[r0 + 1, c0] * wr * (1 - wc)
+                 + blk[r0 + 1, c0 + 1] * wr * wc)
+        else:
+            n_border += 1
+            ci = min(max(int(np.floor(fc + 0.5)), 0), t.width - 1)
+            ri = min(max(int(np.floor(fr + 0.5)), 0), t.height - 1)
+            z = blk[ri, ci]
+        assert got[f"p{i}"] == z, (i, got[f"p{i}"], z)
+    assert n_border > 0  # the fixture really exercised the fallback

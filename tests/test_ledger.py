@@ -68,3 +68,27 @@ def test_checksums_stable_across_resume_paths(spark, work):
     a = {r.part_key: (r.n_rows, r.checksum) for r in j1.ledger().collect()}
     b = {r.part_key: (r.n_rows, r.checksum) for r in j2.ledger().collect()}
     assert a == b
+
+
+def test_many_partitions_no_plan_blowup(spark, tmp_path):
+    """10^4 partitions: no completed-key list may enter a plan as literals
+    and no per-partition driver collect may run — the run must complete
+    and resume must skip everything (scale contract from the 10^6-tile
+    deployment shape)."""
+    df = (
+        spark.range(40_000)
+        .withColumn("cell", F.col("id") % 10_000)
+        .withColumn("payload", F.col("id") * 3)
+    )
+    root = str(tmp_path / "wide")
+    job = LedgerJob(spark, root, part_col="cell")
+    r1 = job.run(df, _hash())
+    assert r1["partitions_processed"] == 10_000
+    assert r1["rows_processed"] == 40_000
+    r2 = job.run(df, _hash())
+    assert r2["partitions_processed"] == 0
+    # the resume plan must stay small: anti-join, not a 10^4-literal isin
+    plan = df.join(
+        job.completed_keys(), "cell", "left_anti"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000
