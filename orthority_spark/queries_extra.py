@@ -275,17 +275,215 @@ SELECT url,
 FROM cl"""
 
 
-def q_pan_sharpen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pan-sharpen pass-1 stats (A1) over lineitem numeric 'bands' —
-    float covariances (partition-invariance pytest-held to 1e-9)."""
-    from .operators.stats import band_stats
+# ---------------------------------------------------------------------------
+# pan-sharpen (A1/A5-A7): ONE SQL template evaluated by BOTH engines.
+# Bands = integer cents of (l_quantity, l_discount, l_tax); pan = their sum
+# plus an l_partkey-derived detail term (the "higher-resolution" signal).
+# All stats are exact BIGINT sums; every float op downstream is an
+# identically ordered chain of IEEE +-*-/ /SQRT, so Spark and DuckDB agree
+# bit-for-bit. The per-row transform is the algebraic collapse of the
+# reference's forward-GS / substitute / reverse-GS (pan_sharp.py:418-479):
+# sharp_k = b_k + g_k * (gain*pan + bias - w.b), g_k = (cov w)_k / w'cov w
+# (pytest test_faithful_equals_reduced_form holds the equivalence to the
+# faithful operators/stats.py pipeline).
+# ---------------------------------------------------------------------------
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_quantity").alias("b1"),
-        F.col("l_extendedprice").alias("b2"),
-        F.col("l_discount").alias("b3"),
+_PS_BASE = """ps_base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS b1,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS b2,
+         CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS b3,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+           + CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+           + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)
+           + l_partkey % 97 AS pan
+  FROM {table}
+), ps_sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(b1) AS BIGINT) AS s1, CAST(SUM(b2) AS BIGINT) AS s2,
+         CAST(SUM(b3) AS BIGINT) AS s3, CAST(SUM(pan) AS BIGINT) AS sp,
+         CAST(SUM(b1 * b1) AS BIGINT) AS s11, CAST(SUM(b1 * b2) AS BIGINT) AS s12,
+         CAST(SUM(b1 * b3) AS BIGINT) AS s13, CAST(SUM(b2 * b2) AS BIGINT) AS s22,
+         CAST(SUM(b2 * b3) AS BIGINT) AS s23, CAST(SUM(b3 * b3) AS BIGINT) AS s33,
+         CAST(SUM(pan * b1) AS BIGINT) AS sp1, CAST(SUM(pan * b2) AS BIGINT) AS sp2,
+         CAST(SUM(pan * b3) AS BIGINT) AS sp3, CAST(SUM(pan * pan) AS BIGINT) AS spp
+  FROM ps_base
+)"""
+
+_PS_COV = """ps_cov AS (
+  SELECT n, s1, s2, s3, sp,
+    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+    CAST(s3 AS DOUBLE) / n AS m3, CAST(sp AS DOUBLE) / n AS mp,
+    (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS c11,
+    (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n) / (n - 1) AS c12,
+    (CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / n) / (n - 1) AS c13,
+    (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n) / (n - 1) AS c22,
+    (CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE) / n) / (n - 1) AS c23,
+    (CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / n) / (n - 1) AS c33,
+    (CAST(sp1 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS cp1,
+    (CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(s2 AS DOUBLE) / n) / (n - 1) AS cp2,
+    (CAST(sp3 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(s3 AS DOUBLE) / n) / (n - 1) AS cp3,
+    (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1) AS cpp
+  FROM ps_sums
+)"""
+
+# Cramer solve of cov_MS . w = cov(pan, MS), then normalise (LS weights,
+# pan_sharp.py:325-344; positive by construction for this pan model)
+_PS_PARAMS = """ps_det AS (
+  SELECT *,
+    c11 * (c22 * c33 - c23 * c23) - c12 * (c12 * c33 - c23 * c13)
+      + c13 * (c12 * c23 - c22 * c13) AS det
+  FROM ps_cov
+), ps_raw_w AS (
+  SELECT *,
+    (cp1 * (c22 * c33 - c23 * c23) - c12 * (cp2 * c33 - c23 * cp3)
+      + c13 * (cp2 * c23 - c22 * cp3)) / det AS w1r,
+    (c11 * (cp2 * c33 - c23 * cp3) - cp1 * (c12 * c33 - c23 * c13)
+      + c13 * (c12 * cp3 - cp2 * c13)) / det AS w2r,
+    (c11 * (c22 * cp3 - cp2 * c23) - c12 * (c12 * cp3 - cp2 * c13)
+      + cp1 * (c12 * c23 - c22 * c13)) / det AS w3r
+  FROM ps_det
+), ps_w AS (
+  SELECT *, w1r / (w1r + w2r + w3r) AS w1, w2r / (w1r + w2r + w3r) AS w2,
+         w3r / (w1r + w2r + w3r) AS w3
+  FROM ps_raw_w
+), ps_sim AS (
+  SELECT *,
+    w1 * (c11 * w1 + c12 * w2 + c13 * w3) + w2 * (c12 * w1 + c22 * w2 + c23 * w3)
+      + w3 * (c13 * w1 + c23 * w2 + c33 * w3) AS var_sim,
+    w1 * m1 + w2 * m2 + w3 * m3 AS m_sim
+  FROM ps_w
+), ps_params AS (
+  SELECT *,
+    (c11 * w1 + c12 * w2 + c13 * w3) / var_sim AS g1,
+    (c12 * w1 + c22 * w2 + c23 * w3) / var_sim AS g2,
+    (c13 * w1 + c23 * w2 + c33 * w3) / var_sim AS g3,
+    SQRT(var_sim) / SQRT(cpp) AS gain
+  FROM ps_sim
+), ps_final AS (
+  SELECT *, m_sim - (SQRT(var_sim) / SQRT(cpp)) * mp AS bias FROM ps_params
+)"""
+
+_PS_STATS_SQL = (
+    "WITH " + _PS_BASE + ", " + _PS_COV + """
+SELECT n, s1, s2, s3, sp, c11, c12, c13, c22, c23, c33, cp1, cp2, cp3, cpp
+FROM ps_cov"""
+)
+
+_PS_ROWS_SQL = (
+    "WITH " + _PS_BASE + ", " + _PS_COV + ", " + _PS_PARAMS + """
+SELECT l_orderkey, l_linenumber,
+  CAST(b1 AS DOUBLE) + g1 * (gain * CAST(pan AS DOUBLE) + bias
+    - (w1 * CAST(b1 AS DOUBLE) + w2 * CAST(b2 AS DOUBLE) + w3 * CAST(b3 AS DOUBLE))) AS sharp_b1,
+  CAST(b2 AS DOUBLE) + g2 * (gain * CAST(pan AS DOUBLE) + bias
+    - (w1 * CAST(b1 AS DOUBLE) + w2 * CAST(b2 AS DOUBLE) + w3 * CAST(b3 AS DOUBLE))) AS sharp_b2,
+  CAST(b3 AS DOUBLE) + g3 * (gain * CAST(pan AS DOUBLE) + bias
+    - (w1 * CAST(b1 AS DOUBLE) + w2 * CAST(b2 AS DOUBLE) + w3 * CAST(b3 AS DOUBLE))) AS sharp_b3
+FROM ps_base CROSS JOIN ps_final"""
+)
+
+
+def q_pan_sharpen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pan-sharpen pass-1 stats (A1): exact integer partial sums + the
+    finalized (co)variances, identical SQL on both engines."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "ps_lineitem"
     )
-    return band_stats(li, ["b1", "b2", "b3"])
+    return spark.sql(_PS_STATS_SQL.format(table="ps_lineitem"))
+
+
+def o_pan_sharpen_stats() -> str:
+    return _PS_STATS_SQL.format(table="lineitem")
+
+
+def q_pan_sharpen_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Gram-Schmidt pan-sharpen (A5-A7 + pass 2) as one
+    declarative plan: exact-integer stats -> closed-form weights/coeffs/
+    gain/bias -> per-row transform. Catalyst plans the 1-row stats side as
+    a broadcast, so pass 2 is map-side over the scan — the 100 TB shape."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "ps_lineitem"
+    )
+    return spark.sql(_PS_ROWS_SQL.format(table="ps_lineitem"))
+
+
+def o_pan_sharpen_rows() -> str:
+    return _PS_ROWS_SQL.format(table="lineitem")
+
+
+def _fit_gcp_grid(m) -> "np.ndarray":
+    """Deterministic 4x3 interior pixel grid for a fixture camera."""
+    j = np.linspace(15.0, m.im_size[0] - 15.0, 4)
+    i = np.linspace(12.0, m.im_size[1] - 12.0, 3)
+    jg, ig = np.meshgrid(j, i)
+    return np.vstack([jg.ravel(), ig.ravel()])
+
+
+def q_fit_exterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exterior pose solve (cv2.solvePnP recast, reference
+    fit.py:299-360): a deterministic GCP grid per fixture image, one
+    Levenberg-Marquardt PnP per image group (applyInPandas), output =
+    milli-pixel reprojection residuals per GCP — exact zeros when the
+    solver converges (the SQL-checkable residual contract)."""
+    import pandas as pd
+
+    from .operators.fit import _model_with_pose, solve_pnp
+
+    models = fp.fixture_models()
+    int_by_name = {
+        n: dict(cam_type=m.cam_type, im_size=m.im_size, focal_len=m.focal_len,
+                sensor_size=m.sensor_size, cx=m.cx, cy=m.cy, dist=m.dist)
+        for n, m in models.items()
+    }
+    rows = []
+    for n in sorted(models):
+        m = models[n]
+        ji = _fit_gcp_grid(m)
+        xyz = m.pixel_to_world_z(ji, 805.0)
+        for k in range(ji.shape[1]):
+            rows.append(
+                (n, k, float(ji[0, k]), float(ji[1, k]),
+                 float(xyz[0, k]), float(xyz[1, k]), float(xyz[2, k]))
+            )
+    gcps = spark.createDataFrame(
+        rows,
+        "filename string, gcp_id int, j double, i double, "
+        "x double, y double, z double",
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        name = pdf.filename.iloc[0]
+        ji = np.vstack([pdf.j.to_numpy(), pdf.i.to_numpy()])
+        xyz = np.vstack(
+            [pdf.x.to_numpy(), pdf.y.to_numpy(), pdf.z.to_numpy()]
+        )
+        s = solve_pnp(int_by_name[name], ji, xyz)
+        m = _model_with_pose(int_by_name[name], s["xyz"], s["opk"])
+        r = m.world_to_pixel(xyz) - ji
+        return pd.DataFrame(
+            {
+                "filename": name,
+                "gcp_id": pdf.gcp_id.to_numpy(),
+                "rj_mpx": np.floor(np.abs(r[0]) * 1000.0 + 0.5).astype("int64"),
+                "ri_mpx": np.floor(np.abs(r[1]) * 1000.0 + 0.5).astype("int64"),
+            }
+        )
+
+    return gcps.groupBy("filename").applyInPandas(
+        solve, schema="filename string, gcp_id int, rj_mpx long, ri_mpx long"
+    )
+
+
+def o_fit_exterior() -> str:
+    names = sorted(fp.fixture_models())
+    rows = ", ".join(
+        f"('{n}', {k}, 0, 0)" for n in names for k in range(12)
+    )
+    return (
+        "SELECT filename, CAST(gcp_id AS INTEGER) AS gcp_id, "
+        "CAST(rj_mpx AS BIGINT) AS rj_mpx, CAST(ri_mpx AS BIGINT) AS ri_mpx "
+        f"FROM (VALUES {rows}) AS t(filename, gcp_id, rj_mpx, ri_mpx)"
+    )
 
 
 QUERIES = {
@@ -298,5 +496,7 @@ QUERIES = {
     "remap_checksums": (q_remap_checksums, None),
     "ray_dem_footprints": (q_ray_dem_footprints, None),
     "image_features": (q_image_features, None),
-    "pan_sharpen_stats": (q_pan_sharpen_stats, None),
+    "pan_sharpen_stats": (q_pan_sharpen_stats, o_pan_sharpen_stats),
+    "pan_sharpen_rows": (q_pan_sharpen_rows, o_pan_sharpen_rows),
+    "fit_exterior": (q_fit_exterior, o_fit_exterior),
 }

@@ -188,3 +188,122 @@ def test_sample_dem_z_matches_scalar_twin(spark):
             z = blk[ri, ci]
         assert got[f"p{i}"] == z, (i, got[f"p{i}"], z)
     assert n_border > 0  # the fixture really exercised the fallback
+
+
+# ---------------------------------------------------------------------------
+# frame pose / calibration solvers (cv2.solvePnP / calibrateCamera recast)
+# ---------------------------------------------------------------------------
+
+
+def _int_params(m):
+    return dict(cam_type=m.cam_type, im_size=m.im_size, focal_len=m.focal_len,
+                sensor_size=m.sensor_size, cx=m.cx, cy=m.cy, dist=m.dist)
+
+
+def test_solve_pnp_recovers_fixture_poses():
+    """Reference exterior-fit tolerances (test_fit.py:343,392-393):
+    xyz abs 1e-3, opk abs 1e-5 — across pinhole/brown/opencv/fisheye."""
+    from orthority_spark.operators.fit import solve_pnp
+    from orthority_spark.sources.footprints import fixture_models
+
+    rng = np.random.RandomState(3)
+    for name, m in fixture_models().items():
+        ji = np.vstack([rng.uniform(10, m.im_size[0] - 10, 16),
+                        rng.uniform(10, m.im_size[1] - 10, 16)])
+        xyz = m.pixel_to_world_z(ji, 800.0)
+        s = solve_pnp(_int_params(m), ji, xyz)
+        np.testing.assert_allclose(s["xyz"], m.xyz, atol=1e-3)
+        np.testing.assert_allclose(s["opk"], m.opk, atol=1e-5)
+        assert s["rms"] < 1e-4
+
+
+def test_solve_pnp_min_gcps():
+    from orthority_spark.operators.fit import solve_pnp
+    from orthority_spark.sources.footprints import fixture_models
+
+    m = fixture_models()["img_0000"]
+    with pytest.raises(ValueError, match="three"):
+        solve_pnp(_int_params(m), np.zeros((2, 2)), np.zeros((3, 2)))
+
+
+def test_fit_frame_multiple_images_brown():
+    """Interior + exterior fit from 3 diverse poses (the reference's
+    multi-image scenario, test_fit.py:233-265): reprojection within
+    0.1 px, ground round-trip within 1 m."""
+    from orthority_spark.geom.camera import FrameModel
+    from orthority_spark.operators.fit import _model_with_pose, fit_frame
+
+    base = dict(cam_type="brown", im_size=(200, 150), focal_len=5.0,
+                sensor_size=(6.0, 4.5), cx=-0.01, cy=0.02,
+                dist=dict(k1=-0.1, k2=0.05, p1=0.005, p2=-0.003, k3=0.0))
+    j, i = np.arange(25, 200, 35.0), np.arange(20, 150, 30.0)
+    jg, ig = np.meshgrid(j, i)
+    grid_ji = np.vstack([jg.ravel(), ig.ravel()])
+    gcps, truth = {}, {}
+    for k, (exyz, eopk_deg) in enumerate(zip(
+        [(2e4, 3e4, 1e3), (3e4, 3e4, 1e3), (3e4, 3e4, 2e3)],
+        [(-3.0, 2.0, 10.0), (-15.0, 2.0, 10.0), (-30.0, 20.0, 10.0)],
+    )):
+        cam = FrameModel(**base, xyz=exyz, opk=tuple(np.radians(eopk_deg)))
+        xyz = cam.pixel_to_world_z(grid_ji, 0.0)
+        gcps[f"file{k}"] = (grid_ji, xyz)
+        truth[f"file{k}"] = xyz
+    int_p, ext = fit_frame("brown", (200, 150), gcps)
+    for name, e in ext.items():
+        test_cam = _model_with_pose(int_p, e["xyz"], e["opk"])
+        np.testing.assert_allclose(
+            test_cam.world_to_pixel(truth[name]), grid_ji, atol=0.1
+        )
+        np.testing.assert_allclose(
+            test_cam.pixel_to_world_z(grid_ji, 0.0), truth[name], atol=1.0
+        )
+
+
+def test_fit_frame_requires_coplanar():
+    from orthority_spark.operators.fit import fit_frame
+    from orthority_spark.sources.footprints import fixture_models
+
+    m = fixture_models()["img_0000"]
+    rng = np.random.RandomState(5)
+    ji = np.vstack([rng.uniform(10, 190, 8), rng.uniform(10, 140, 8)])
+    xyz = m.pixel_to_world_z(ji, 800.0)
+    xyz[2] += rng.uniform(-5, 5, 8)  # break co-planarity
+    with pytest.raises(ValueError, match="co-planar"):
+        fit_frame("pinhole", m.im_size, {"f": (ji, xyz)})
+    with pytest.raises(ValueError, match="four"):
+        fit_frame("pinhole", m.im_size,
+                  {"f": (ji[:, :3], np.vstack([xyz[:2, :3], np.zeros(3)]))})
+
+
+def test_fit_exterior_per_image_spark(spark):
+    """Distributed PnP == driver-side solve_pnp per image."""
+    from orthority_spark.operators.fit import fit_exterior_per_image, solve_pnp
+    from orthority_spark.sources.footprints import fixture_models
+
+    models = fixture_models()
+    m0 = models["img_0000"]
+    rng = np.random.RandomState(7)
+    rows = []
+    for name in ["img_0000", "img_0002"]:
+        m = models[name]
+        ji = np.vstack([rng.uniform(10, m.im_size[0] - 10, 10),
+                        rng.uniform(10, m.im_size[1] - 10, 10)])
+        xyz = m.pixel_to_world_z(ji, 810.0)
+        for k in range(10):
+            rows.append((name, float(ji[0, k]), float(ji[1, k]),
+                         float(xyz[0, k]), float(xyz[1, k]), float(xyz[2, k])))
+    # both fixture cameras share interior params with img_0000? no — use
+    # per-run interior of img_0000 only for img_0000; solve img_0002 with
+    # its own params via a second call
+    for name in ["img_0000", "img_0002"]:
+        m = models[name]
+        df = spark.createDataFrame(
+            [r for r in rows if r[0] == name],
+            "filename string, j double, i double, x double, y double, z double",
+        )
+        got = fit_exterior_per_image(df, _int_params(m)).collect()[0]
+        np.testing.assert_allclose((got.x, got.y, got.z), m.xyz, atol=1e-3)
+        np.testing.assert_allclose(
+            (got.omega, got.phi, got.kappa), m.opk, atol=1e-5
+        )
+        assert got.rms_px < 1e-4
