@@ -9,7 +9,7 @@ Engine-grade APIs over a documents-shaped DataFrame (id_col, text_col):
 - :func:`jaccard_verify`       exact Jaccard over candidate pairs ONLY
 - :func:`minhash_lsh_neardups` the full pipeline: shingle -> minhash ->
                                band -> bucket-join -> exact verify
-- :func:`simhash64`            64-bit SimHash (near-dup by hamming bands)
+- :func:`simhash`              SimHash (n_bits <= 60; near-dup by hamming bands)
 
 Scale shape: every stage is built-ins; the only pairwise work is inside
 LSH buckets; the verifier joins candidates to shingle sets (semi-join
@@ -157,10 +157,19 @@ def minhash_lsh_neardups(
     return jaccard_verify(cands, sh, tau)
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 31) -> DataFrame:
-    """(id, simhash): SimHash from unigram token hashes (default 31 bits —
-    the token hash itself is 31-bit). Column-wise per-bit sign sums in one
-    partial-agg groupBy; no bits-join replication."""
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 31) -> DataFrame:
+    """(id, simhash): SimHash from unigram token hashes. Column-wise
+    per-bit sign sums in one partial-agg groupBy; no bits-join
+    replication. The token hash is the 60-bit md5 prefix, so up to 60
+    simhash bits are available (n_bits <= 60; 63 would also overflow a
+    signed long under the bit-sum assembly)."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60] (60-bit token hash)")
+    h = (
+        "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"
+        if n_bits > 31
+        else _h31("token")
+    )
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -168,7 +177,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 31) -> Da
         )
         .where(F.col("token") != "")
         .distinct()
-        .withColumn("h", F.expr(_h31("token")))
+        .withColumn("h", F.expr(h))
     )
     aggs = [
         F.sum(
@@ -177,8 +186,17 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 31) -> Da
         for b in range(n_bits)
     ]
     wide = toks.groupBy("id").agg(*aggs)
-    simhash = None
+    sig = None
     for b in range(n_bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return wide.select("id", simhash.cast("long").alias("simhash"))
+        sig = term if sig is None else sig + term
+    return wide.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full-width (60-bit) SimHash — the hamming-band near-dup signature."""
+    return simhash(df, id_col, text_col, n_bits=60)
+
+
+# backwards-compatible alias for the earlier (mis)name; 31 bits as before
+simhash64 = simhash

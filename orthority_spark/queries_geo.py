@@ -221,6 +221,58 @@ dists AS (
 SELECT url, CAST(rank AS INT) AS rank, filename FROM ranked WHERE rank <= 3"""
 
 
+KNN_RING = 8
+
+
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest footprints via the cell k-ring candidate join — the
+    10^12-page scale path: the tiny footprint-cell index is dilated by the
+    ring (wrapped at the antimeridian, clamped at the poles), pages join
+    on their OWN cell with zero blow-up, and only candidates are scored.
+    Pages outside every ring get fewer/no neighbors by design — the oracle
+    mirrors the same candidate set exactly."""
+    from .operators.knn import knn_kring
+
+    return knn_kring(
+        pages_cells(spark, sf_dir),
+        fp.footprint_cells_df(spark),
+        fp.footprint_summary_df(spark),
+        k=3,
+        ring=KNN_RING,
+    ).select("url", "rank", "filename")
+
+
+def o_knn_kring() -> str:
+    # driver-side ring dilation with the SAME grid.k_ring the engine's SQL
+    # expansion is parity-tested against (tests/test_knn.py)
+    cells_by_name: dict[str, list[int]] = {}
+    for n, c in fp.footprint_records()["cells"]:
+        cells_by_name.setdefault(n, []).append(int(c))
+    rows = []
+    for n in sorted(cells_by_name):
+        exp = set()
+        for c in cells_by_name[n]:
+            exp.update(int(x) for x in grid.k_ring(c, KNN_RING))
+        rows.extend(f"('{n}', {c})" for c in sorted(exp))
+    expanded = ", ".join(rows)
+    return f"""{pages_cte()},
+{_centers_values()},
+expanded(filename, cell) AS (VALUES {expanded}),
+cand AS (
+  SELECT DISTINCT c.url, c.px, c.py, f.filename, f.cx, f.cy
+  FROM cells c JOIN expanded e ON c.cell = e.cell
+  JOIN centers f ON f.filename = e.filename
+), ranked AS (
+  SELECT url, filename,
+         ROW_NUMBER() OVER (
+           PARTITION BY url
+           ORDER BY (px - cx) * (px - cx) + (py - cy) * (py - cy), filename
+         ) AS rank
+  FROM cand
+)
+SELECT url, CAST(rank AS INT) AS rank, filename FROM ranked WHERE rank <= 3"""
+
+
 def q_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overview pyramid (S17 -> rollup): page counts at three resolutions."""
     pc = pages_cells(spark, sf_dir)
@@ -319,6 +371,7 @@ QUERIES = {
     "pip_join_salted": (q_pip_join_salted, o_pip_join_salted),
     "pip_join_arrow": (q_pip_join_arrow, o_pip_join_arrow),
     "knn": (q_knn, o_knn),
+    "knn_kring": (q_knn_kring, o_knn_kring),
     "rollup_pyramid": (q_rollup_pyramid, o_rollup_pyramid),
     "world_to_pixel": (q_world_to_pixel, o_world_to_pixel),
     "footprint_bounds": (q_footprint_bounds, o_footprint_bounds),

@@ -262,6 +262,73 @@ FROM common JOIN counts na ON doc_a = na.doc_id
 WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_TAU}"""
 
 
+def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates-only Jaccard verification — the 100 TB path: exact
+    shingle Jaccard computed ONLY for pairs sharing an LSH band (never
+    all-pairs); the shingle explode is restricted to candidate docs via a
+    left-semi join before the pair join."""
+    b = _band_sigs(spark, sf_dir).persist()
+    a, c = b.alias("a"), b.alias("c")
+    cands = (
+        a.join(c, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    a2 = shc.select(F.col("doc_id").alias("doc_a"), "sh")
+    b2 = shc.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cands.join(a2, "doc_a")
+        .join(b2, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def o_jaccard_neardups_lsh() -> str:
+    return f"""{_band_cte()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.band_sig = c.band_sig AND a.doc_id < c.doc_id
+), counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT cands.doc_a, cands.doc_b, COUNT(*) AS common
+  FROM cands
+  JOIN shingles sa ON sa.doc_id = cands.doc_a
+  JOIN shingles sb ON sb.doc_id = cands.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       common / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+FROM common JOIN counts na ON doc_a = na.doc_id
+            JOIN counts nb ON doc_b = nb.doc_id
+WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_TAU}"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from unigram token hashes.
 
@@ -417,6 +484,7 @@ QUERIES = {
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "lsh_candidates": (q_lsh_candidates, o_lsh_candidates),
     "jaccard_neardups": (q_jaccard_neardups, o_jaccard_neardups),
+    "jaccard_neardups_lsh": (q_jaccard_neardups_lsh, o_jaccard_neardups_lsh),
     "simhash": (q_simhash, o_simhash),
     "text_stats": (q_text_stats, o_text_stats),
     "quality_score": (q_quality_score, o_quality_score),

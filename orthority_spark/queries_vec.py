@@ -180,6 +180,76 @@ dots AS (
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_TAU}"""
 
 
+def _with_bucket(qz: DataFrame) -> DataFrame:
+    d1 = (
+        "aggregate(zip_with(qe, sequence(1, size(qe)), "
+        "(v, i) -> CASE WHEN (i - 1) % 2 = 0 THEN v ELSE -v END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    d2 = (
+        "aggregate(zip_with(qe, sequence(1, size(qe)), "
+        "(v, i) -> CASE WHEN (i - 1) % 3 = 0 THEN v ELSE -v END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return qz.withColumn(
+        "bucket",
+        (
+            F.when(F.expr(d1) > 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.expr(d2) > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+
+
+def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups restricted to shared sign-LSH buckets — the
+    scale path: pairwise cosine only WITHIN buckets (an equi-join on the
+    map-side bucket id), never all-pairs. Pairs straddling a bucket
+    boundary are missed by design; recall vs the all-pairs scan is a
+    pytest contract (tests/test_ann.py)."""
+    qz = _with_bucket(_quantized(spark, sf_dir))
+    a, b = qz.alias("a"), qz.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.expr("a.vec_id < b.vec_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
+        )
+        .where(F.col("cosine") >= NEARDUP_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+def o_embedding_neardups_bucketed() -> str:
+    return f"""
+WITH {_DUCK_UNNEST},
+proj AS (
+  SELECT vec_id, SUM({_H1}) AS d1, SUM({_H2}) AS d2 FROM u GROUP BY vec_id
+), bk AS (
+  SELECT vec_id, (CASE WHEN d1 > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM proj
+), dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  JOIN bk ba ON ba.vec_id = a.vec_id
+  JOIN bk bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+), scored AS (
+  SELECT vec_a, vec_b,
+         dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+  FROM dots JOIN norms na ON vec_a = na.vec_id
+            JOIN norms nb ON vec_b = nb.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_TAU}"""
+
+
 def q_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label quantised centroid sums (IVF coarse-quantiser training
     analogue — exact integer partial sums, order-independent)."""
@@ -207,5 +277,9 @@ QUERIES = {
     "ann_topk": (q_ann_topk, o_ann_topk),
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
     "embedding_neardups": (q_embedding_neardups, o_embedding_neardups),
+    "embedding_neardups_bucketed": (
+        q_embedding_neardups_bucketed,
+        o_embedding_neardups_bucketed,
+    ),
     "label_centroid_norms": (q_label_centroid_norms, o_label_centroid_norms),
 }

@@ -179,6 +179,52 @@ def read_ext_param_csv(file: str | Path) -> tuple[list[dict], str]:
     return out, fmt
 
 
+def ext_records_to_poses(
+    records: list[dict], fmt: str, radians: bool = False
+) -> list[dict]:
+    """CSV exterior records (any of the 4 formats) -> world poses
+    (filename, xyz, opk[, camera]) on the engine's linear world frame.
+
+    The reference converts per row in CsvReader._convert
+    (param_io.py:1119-1154): angles default to degrees, lla projects
+    through the job CRS (here the exact equirectangular frame,
+    config.py:16), and rpy converts via _rpy_to_opk (param_io.py:753-835
+    — geom/rotation.rpy_to_opk here, the north-aligned exact case)."""
+    from .. import config
+    from ..geom.rotation import rpy_to_opk
+
+    out = []
+    for rec in records:
+        if fmt.startswith("xyz"):
+            xyz = (rec["x"], rec["y"], rec["z"])
+        else:
+            xyz = (
+                (rec["longitude"] - config.LON0) * config.M_PER_DEG,
+                (rec["latitude"] - config.LAT0) * config.M_PER_DEG,
+                rec["altitude"],
+            )
+        if fmt.endswith("opk"):
+            opk = (rec["omega"], rec["phi"], rec["kappa"])
+            if not radians:
+                opk = tuple(math.radians(v) for v in opk)
+        else:
+            rpy = (rec["roll"], rec["pitch"], rec["yaw"])
+            if not radians:
+                rpy = tuple(math.radians(v) for v in rpy)
+            opk = rpy_to_opk(rpy)
+        pose = {"filename": rec["filename"], "xyz": xyz, "opk": tuple(opk)}
+        if "camera" in rec:
+            pose["camera"] = rec["camera"]
+        out.append(pose)
+    return out
+
+
+def read_ext_param_csv_poses(file: str | Path, radians: bool = False) -> list[dict]:
+    """Exterior CSV -> world poses in one step (read + dispatch + convert)."""
+    records, fmt = read_ext_param_csv(file)
+    return ext_records_to_poses(records, fmt, radians=radians)
+
+
 def write_ext_param_csv(file: str | Path, records: list[dict],
                         overwrite: bool = False) -> None:
     p = Path(file)

@@ -117,3 +117,23 @@ def test_lsh_band_sig_is_order_exact(spark):
     }
     # 1 and 3 share the identical band tuple; 2 only shares the multiset
     assert got == {(1, 3)}
+
+
+def test_simhash60_full_width(spark):
+    """60-bit simhash: high bits actually vary (the 31-bit default cannot
+    set them), and similar docs stay hamming-close at full width."""
+    from orthority_spark.operators.dedup import simhash, simhash60
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different words about spark shuffles and parquet"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r.simhash for r in simhash60(df, "doc_id", "text").collect()}
+    assert any(v >> 31 for v in out.values())  # high bits populated
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    with pytest.raises(ValueError):
+        simhash(df, "doc_id", "text", n_bits=61).collect()

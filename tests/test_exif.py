@@ -1,0 +1,139 @@
+"""Pure-python EXIF/XMP parser (S7/S13): write -> parse round trips,
+interior/exterior param derivation branches, footprint parity between an
+EXIF-built camera and the same camera defined directly, distributed scan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from orthority_spark import config
+from orthority_spark.geom.boundary import world_footprint
+from orthority_spark.geom.camera import FrameModel
+from orthority_spark.geom.rotation import rpy_to_opk
+from orthority_spark.sources.exif import (
+    build_exif_bytes,
+    exif_ext_param,
+    exif_int_param,
+    exif_scan,
+    parse_exif,
+)
+from orthority_spark.sources.param_io import ParamFileError
+
+LLA = (-33.7001, 24.2001, 825.0)
+RPY = (3.0, -5.0, 35.0)
+
+
+def test_exif_roundtrip_full():
+    data = build_exif_bytes(
+        im_size=(200, 150), focal_len_mm=5.0, sensor_size_mm=(6.0, 4.5),
+        focal_35=30, lla=LLA, rpy_deg=RPY, make="ACME", model="Cam-1",
+    )
+    t = parse_exif(data)
+    assert t.make == "acme" and t.model == "cam-1"
+    assert t.im_size == (200, 150) and t.tag_im_size == (200, 150)
+    assert t.focal_len == pytest.approx(5.0, rel=1e-6)
+    assert t.focal_len_35 == 30
+    assert t.sensor_size == pytest.approx((6.0, 4.5), rel=1e-6)
+    assert t.lla == pytest.approx(LLA, abs=1e-8)
+    assert t.rpy == pytest.approx(RPY, abs=1e-12)
+
+
+def test_exif_southern_western_negative_altitude():
+    data = build_exif_bytes(
+        im_size=(10, 10), lla=(-12.25, -67.125, -41.5)
+    )
+    t = parse_exif(data)
+    assert t.lla == pytest.approx((-12.25, -67.125, -41.5), abs=1e-8)
+
+
+def test_exif_int_param_branches():
+    # focal + sensor -> pinhole
+    d1 = build_exif_bytes((200, 150), focal_len_mm=5.0, sensor_size_mm=(6.0, 4.5))
+    (p1,) = exif_int_param(parse_exif(d1)).values()
+    assert p1["type"] == "pinhole" and p1["focal_len"] == pytest.approx(5.0, rel=1e-6)
+    # 35mm fallback without sensor size (param_io.py:180-186)
+    d2 = build_exif_bytes((200, 150), focal_35=36)
+    (p2,) = exif_int_param(parse_exif(d2)).values()
+    assert p2["focal_len"] == pytest.approx(1.0) and "sensor_size" not in p2
+    # DJI dewarp -> brown (param_io.py:145-162)
+    dw = [166.7, 166.7, 1.5, -2.0, -0.1, 0.05, 0.005, -0.003, 0.0]
+    d3 = build_exif_bytes((200, 150), dewarp=dw)
+    (p3,) = exif_int_param(parse_exif(d3)).values()
+    assert p3["type"] == "brown"
+    assert p3["focal_len"] == pytest.approx([166.7, 166.7], rel=1e-9)
+    assert p3["cx"] == pytest.approx(1.5 / 200, rel=1e-9)
+    assert p3["k1"] == pytest.approx(-0.1, rel=1e-9)
+    # nothing usable -> error
+    d4 = build_exif_bytes((200, 150))
+    with pytest.raises(ParamFileError, match="focal"):
+        exif_int_param(parse_exif(d4))
+
+
+def test_exif_footprint_matches_direct_model():
+    """A camera built from EXIF bytes produces the SAME world footprint as
+    the same camera defined directly (the S7/S13 'genuine' check)."""
+    data = build_exif_bytes(
+        im_size=(200, 150), focal_len_mm=5.0, sensor_size_mm=(6.0, 4.5),
+        lla=LLA, rpy_deg=RPY,
+    )
+    t = parse_exif(data)
+    (ip,) = exif_int_param(t).values()
+    ep = exif_ext_param(t)
+    m_exif = FrameModel(
+        cam_type=ip["type"], im_size=tuple(ip["im_size"]),
+        focal_len=ip["focal_len"], sensor_size=tuple(ip["sensor_size"]),
+        dist={}, xyz=ep["xyz"], opk=ep["opk"],
+    )
+    xyz_direct = (
+        (LLA[1] - config.LON0) * config.M_PER_DEG,
+        (LLA[0] - config.LAT0) * config.M_PER_DEG,
+        LLA[2],
+    )
+    m_direct = FrameModel(
+        cam_type="pinhole", im_size=(200, 150), focal_len=5.0,
+        sensor_size=(6.0, 4.5), dist={},
+        xyz=xyz_direct, opk=rpy_to_opk(tuple(np.radians(RPY))),
+    )
+    fp_exif = world_footprint(m_exif, 750.0)
+    fp_direct = world_footprint(m_direct, 750.0)
+    # rational-encoding noise in the GPS tags is the only difference
+    np.testing.assert_allclose(fp_exif, fp_direct, atol=1e-3)
+    assert ep["camera"] == "oty spark"
+
+
+def test_exif_missing_pose_tags_raise():
+    t = parse_exif(build_exif_bytes((10, 10), focal_len_mm=5.0,
+                                    sensor_size_mm=(6.0, 4.5)))
+    with pytest.raises(ParamFileError, match="latitude"):
+        exif_ext_param(t)
+    t2 = parse_exif(build_exif_bytes((10, 10), lla=LLA))
+    with pytest.raises(ParamFileError, match="roll"):
+        exif_ext_param(t2)
+
+
+def test_exif_scan_distributed(spark):
+    rows = [
+        (
+            f"img_{k}.tif",
+            bytearray(
+                build_exif_bytes(
+                    im_size=(200, 150), focal_len_mm=5.0,
+                    sensor_size_mm=(6.0, 4.5),
+                    lla=(LLA[0] + k * 1e-4, LLA[1], 820.0 + k),
+                    rpy_deg=(0.0, 0.0, 10.0 * k),
+                )
+            ),
+        )
+        for k in range(6)
+    ]
+    df = spark.createDataFrame(rows, "filename string, data binary")
+    got = {r.filename: r for r in exif_scan(df).collect()}
+    assert len(got) == 6
+    for k in range(6):
+        r = got[f"img_{k}.tif"]
+        assert r.camera == "oty spark"
+        assert r.focal_len == pytest.approx(5.0, rel=1e-6)
+        assert r.lat == pytest.approx(LLA[0] + k * 1e-4, abs=1e-8)
+        assert r.alt == pytest.approx(820.0 + k, abs=1e-6)
+        assert r.yaw == pytest.approx(10.0 * k, abs=1e-12)

@@ -138,3 +138,66 @@ def test_csv_empty_file_raises_param_error(tmp_path):
     f.write_text("")
     with pytest.raises(ParamFileError):
         read_ext_param_csv(f)
+
+
+def test_csv_lla_rpy_poses_match_xyz_opk(tmp_path):
+    """The same physical geometry expressed as lla_rpy and as xyz_opk must
+    produce IDENTICAL world poses and footprints (the CsvReader._convert
+    wiring, reference param_io.py:1061-1157)."""
+    import numpy as np
+
+    from orthority_spark import config
+    from orthority_spark.geom.boundary import world_footprint
+    from orthority_spark.geom.camera import FrameModel
+    from orthority_spark.geom.rotation import rpy_to_opk
+    from orthority_spark.sources.param_io import read_ext_param_csv_poses
+
+    lla = (-33.7002, 24.2003, 830.0)
+    rpy_deg = (2.0, -4.0, 25.0)
+    xyz = ((lla[1] - config.LON0) * config.M_PER_DEG,
+           (lla[0] - config.LAT0) * config.M_PER_DEG, lla[2])
+    opk = rpy_to_opk(tuple(np.radians(rpy_deg)))
+
+    f1 = tmp_path / "lla_rpy.csv"
+    f1.write_text(
+        "filename,latitude,longitude,altitude,roll,pitch,yaw\n"
+        f"img.tif,{lla[0]!r},{lla[1]!r},{lla[2]!r},"
+        f"{rpy_deg[0]!r},{rpy_deg[1]!r},{rpy_deg[2]!r}\n"
+    )
+    f2 = tmp_path / "xyz_opk.csv"
+    f2.write_text(
+        "filename,x,y,z,omega,phi,kappa\n"
+        f"img.tif,{xyz[0]!r},{xyz[1]!r},{xyz[2]!r},"
+        f"{np.degrees(opk[0])!r},{np.degrees(opk[1])!r},{np.degrees(opk[2])!r}\n"
+    )
+    (p1,) = read_ext_param_csv_poses(f1)
+    (p2,) = read_ext_param_csv_poses(f2)
+    np.testing.assert_allclose(p1["xyz"], p2["xyz"], rtol=1e-12)
+    np.testing.assert_allclose(p1["opk"], p2["opk"], atol=1e-12)
+
+    cam = dict(cam_type="pinhole", im_size=(200, 150), focal_len=5.0,
+               sensor_size=(6.0, 4.5), dist={})
+    m1 = FrameModel(**cam, xyz=p1["xyz"], opk=p1["opk"])
+    m2 = FrameModel(**cam, xyz=p2["xyz"], opk=p2["opk"])
+    np.testing.assert_allclose(
+        world_footprint(m1, 750.0), world_footprint(m2, 750.0), atol=1e-9
+    )
+
+
+def test_csv_xyz_rpy_poses(tmp_path):
+    import numpy as np
+
+    from orthority_spark.geom.rotation import rpy_to_opk
+    from orthority_spark.sources.param_io import read_ext_param_csv_poses
+
+    f = tmp_path / "xyz_rpy.csv"
+    f.write_text(
+        "filename,x,y,z,roll,pitch,yaw,camera\n"
+        "img.tif,100.0,200.0,900.0,0.0,0.0,90.0,camA\n"
+    )
+    (p,) = read_ext_param_csv_poses(f)
+    assert p["xyz"] == (100.0, 200.0, 900.0)
+    np.testing.assert_allclose(
+        p["opk"], rpy_to_opk((0.0, 0.0, np.pi / 2)), atol=1e-12
+    )
+    assert p["camera"] == "camA"
