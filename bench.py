@@ -47,26 +47,32 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_N_PAGES", "8000000"))
 PAGES_PARQUET = os.environ.get("BENCH_PAGES_DIR", "/tmp/bench_pages_parquet8")
 LEVELS = [2, 8, CPUS]
-# rounds per level (asymmetric: the cheap high-core sessions get more
-# samples so the min-estimator converges under this host's drifting noise;
-# each session = cold run incl. codegen compile + steady run)
-ROUNDS = {2: 3, 8: 4, CPUS: 4}
+# rounds per level, interleaved round-robin so drifting host noise lands
+# on every level evenly; both the min and the median estimator are
+# reported (one noisy window must not flip the scaling claim)
+ROUNDS = {2: 4, 8: 5, CPUS: 4}
 
 BENCH_QUERIES = [
     "pip_join",
     "pip_join_salted",
     "knn",
+    "knn_kring",
     "tile_checksums",
     "rollup_pyramid",
     "world_to_pixel",
+    "dem_z_sample",
     "minhash_signatures",
     "lsh_candidates",
+    "jaccard_neardups_lsh",
     "simhash",
     "ann_topk",
+    "embedding_neardups_bucketed",
     "pricing_summary",
+    "pan_sharpen_rows",
+    "fit_exterior",
     "sessionize",
-    "asof_join",
-    "asof_join_window",
+    "asof_join_window",  # the default as-of path (JVM window)
+    "asof_join",         # cogroup twin kept as the reference-pattern comparator
 ]
 
 
@@ -90,7 +96,11 @@ def materialize_pages() -> None:
     spark.stop()
 
 
-def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
+def _build_pipeline(spark, cores: int, mode: str, small: bool = False):
+    """mode: 'broadcast' (default plan), 'salted' (skew-safe shuffle),
+    'shuffle1' (the salted plan with n_salt=1 — an UNSALTED shuffle join
+    carrying the mega-cell hot key; the honest comparator the salting
+    exists to beat)."""
     recs = fp.footprint_records()
     src = PAGES_PARQUET + ("_small" if small else "")
     pages = tile_join.assign_cells(
@@ -99,13 +109,13 @@ def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
             token="float",
         )
     )
-    if salted:
+    if mode in ("salted", "shuffle1"):
         joined = tile_join.pip_join_salted(
             pages,
             fp.footprint_catalog_flat_df(spark, recs),
             fp.footprint_edges_df(spark, recs),
             keep=["cell"],
-            n_salt=cores * 2,
+            n_salt=cores * 2 if mode == "salted" else 1,
         )
     else:
         joined = tile_join.pip_join_broadcast(
@@ -119,7 +129,7 @@ def _build_pipeline(spark, cores: int, salted: bool, small: bool = False):
     )
 
 
-def run_pipeline_once(cores: int, salted: bool = False) -> tuple[float, float, dict]:
+def run_pipeline_once(cores: int, mode: str = "broadcast") -> tuple[float, float, float, dict]:
     """One cold session, two fresh-lineage runs: returns (cold incl. the
     one-time codegen compile, steady with compile cached, tiles).
     Repeat-collect on one DataFrame would silently reuse shuffle files,
@@ -133,13 +143,13 @@ def run_pipeline_once(cores: int, salted: bool = False) -> tuple[float, float, d
     spark.range(1000).count()  # session warmup (JVM init, not the metric)
     times, tiles = [], {}
     for _ in range(2):
-        df = _build_pipeline(spark, cores, salted)
+        df = _build_pipeline(spark, cores, mode)
         t0 = time.perf_counter()
         rows = df.collect()
         times.append(time.perf_counter() - t0)
         tiles = {r.cell: (r.n_rows, r.checksum) for r in rows}
     # fixed-overhead probe: identical plan over the near-empty twin
-    df = _build_pipeline(spark, cores, salted, small=True)
+    df = _build_pipeline(spark, cores, mode, small=True)
     t0 = time.perf_counter()
     df.collect()
     overhead = time.perf_counter() - t0
@@ -211,21 +221,41 @@ def hw_calibration() -> dict:
     return {"hw_md5_eff_8_to_32": round(out[8] / (4 * out[32]), 3)}
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     materialize_pages()
     cold, steady, overhead, rounds, tiles = run_pipeline_levels(LEVELS)
-    # salted path measured once at the top level (skew strategy check)
-    _sc, salted_steady, _so, salted_tiles = run_pipeline_once(CPUS, salted=True)
+    med = {c: _median(v) for c, v in rounds.items()}
+    # skew strategies measured at the top level: salted vs the honest
+    # comparator (unsalted shuffle join carrying the mega-cell hot key);
+    # interleaved rounds + min estimator, same as the main pipeline
+    salted_rounds, unsalted_rounds = [], []
+    for _ in range(2):
+        _sc, s_t, _so, salted_tiles = run_pipeline_once(CPUS, mode="salted")
+        salted_rounds.append(round(s_t, 3))
+        _uc, u_t, _uo, unsalted_tiles = run_pipeline_once(CPUS, mode="shuffle1")
+        unsalted_rounds.append(round(u_t, 3))
+    salted_steady = min(salted_rounds)
+    unsalted_steady = min(unsalted_rounds)
     thr = {c: N_PAGES / t for c, t in steady.items()}
+    thr_med = {c: N_PAGES / t for c, t in med.items()}
     eff_2_8 = thr[8] / (4 * thr[2])
+    eff_2_8_med = thr_med[8] / (4 * thr_med[2])
     eff_8_n = thr[CPUS] / ((CPUS / 8) * thr[8])
     # marginal (data-proportional) efficiency: subtract each level's own
     # measured fixed latency (near-empty identical plan)
     marg = {c: steady[c] - overhead[c] for c in LEVELS}
     eff_2_8_marginal = marg[2] / (4 * marg[8]) if marg[8] > 0 else None
     eff_8_n_marginal = marg[8] / ((CPUS / 8) * marg[CPUS]) if marg[CPUS] > 0 else None
-    parity = all(tiles[c] == tiles[LEVELS[0]] for c in LEVELS) and (
-        salted_tiles == tiles[LEVELS[0]]
+    parity = (
+        all(tiles[c] == tiles[LEVELS[0]] for c in LEVELS)
+        and salted_tiles == tiles[LEVELS[0]]
+        and unsalted_tiles == tiles[LEVELS[0]]
     )
     hw = hw_calibration()
     q_times = run_queries(CPUS)
@@ -245,15 +275,23 @@ def main() -> None:
         "pipeline_cold_sec": {str(c): round(cold[c], 3) for c in LEVELS},
         "pipeline_rounds_sec": {str(c): rounds[c] for c in LEVELS},
         "pipeline_steady_sec": {str(c): round(steady[c], 3) for c in LEVELS},
+        "pipeline_median_sec": {str(c): round(med[c], 3) for c in LEVELS},
         "pages_per_sec": {str(c): round(thr[c]) for c in LEVELS},
         "salted_steady_sec": round(salted_steady, 3),
+        "salted_rounds_sec": salted_rounds,
+        "unsalted_shuffle_steady_sec": round(unsalted_steady, 3),
+        "unsalted_shuffle_rounds_sec": unsalted_rounds,
+        "salting_speedup_vs_unsalted_shuffle": round(
+            unsalted_steady / salted_steady, 3
+        ),
         "fixed_latency_sec": {str(c): round(overhead[c], 3) for c in LEVELS},
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+        "scaling_efficiency_2_to_8_median": round(eff_2_8_med, 3),
         "scaling_efficiency_2_to_8_marginal": round(eff_2_8_marginal, 3),
         "scaling_efficiency_8_to_%d_marginal" % CPUS: round(eff_8_n_marginal, 3),
         "scaling_efficiency_8_to_%d" % CPUS: round(eff_8_n, 3),
         **hw,
-        "checksum_parity_all_levels_and_salted": parity,
+        "checksum_parity_all_levels_and_skew_strategies": parity,
         "n_tiles": len(tiles[LEVELS[0]]),
     }
     _write_baseline_md(result)
@@ -264,10 +302,34 @@ def _write_baseline_md(r: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     level_rows = "\n".join(
         f"| local[{c}] | {r['pipeline_cold_sec'][c]} | "
-        f"{r['pipeline_steady_sec'][c]} | {r['fixed_latency_sec'][c]} | "
+        f"{r['pipeline_steady_sec'][c]} | {r['pipeline_median_sec'][c]} | "
+        f"{r['pipeline_rounds_sec'][c]} | {r['fixed_latency_sec'][c]} | "
         f"{r['pages_per_sec'][c]} |"
         for c in r["pipeline_steady_sec"]
     )
+    # the >= 0.8 claim is GENERATED from the measured numbers — the prose
+    # can never contradict its own table
+    raw28 = r["scaling_efficiency_2_to_8"]
+    med28 = r["scaling_efficiency_2_to_8_median"]
+    marg28 = r["scaling_efficiency_2_to_8_marginal"]
+    best28 = max(raw28, med28, marg28)
+    if raw28 >= 0.8:
+        claim = f"meets the >= 0.8 north-rule target on the raw numbers."
+    elif best28 >= 0.8:
+        which = (
+            "data-proportional" if marg28 == best28 else "median-estimator"
+        )
+        claim = (
+            f"the raw best-run number misses the >= 0.8 north-rule target; "
+            f"the {which} view ({best28}) meets it. Both are recorded — "
+            f"judge from the table."
+        )
+    else:
+        claim = (
+            f"MISSES the >= 0.8 north-rule target in this recording "
+            f"(best view {best28}) — host noise on this shared VM is the "
+            f"suspected cause (see the per-round spread), not claimed as met."
+        )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH baseline — measured by bench.py
@@ -278,32 +340,42 @@ vs 4 footprints -> order-independent per-tile checksums. Levels
 interleaved round-robin (fresh cold SparkContext per round per level) so
 drifting noise on this shared VM lands evenly; wall-clocked around
 collect(). Cold includes the one-time codegen compile; steady = best
-compile-cached run; fixed latency = the identical plan over a near-empty
-twin table (planning + AQE barriers + scheduling + broadcast build —
+compile-cached run; median + all rounds shown so one noisy window cannot
+flip a claim; fixed latency = the identical plan over a near-empty twin
+table (planning + AQE barriers + scheduling + broadcast build —
 data-volume-independent, amortised away on real cluster-scale jobs).
 
-| level | cold s | steady s | fixed-latency s | pages/sec (steady) |
-|---|---|---|---|---|
+| level | cold s | steady (min) s | median s | all rounds s | fixed-latency s | pages/sec (min) |
+|---|---|---|---|---|---|---|
 {level_rows}
 
-- **N -> 4N scaling efficiency (local[2] -> local[8]):
-  raw {r['scaling_efficiency_2_to_8']}, data-proportional (fixed latency
-  subtracted) {r['scaling_efficiency_2_to_8_marginal']}** — meets the
-  >= 0.8 north-rule target on the data-proportional work.
+- **N -> 4N scaling efficiency (local[2] -> local[8]): raw (min-estimator)
+  {raw28}, median-estimator {med28}, data-proportional (fixed latency
+  subtracted) {marg28}** — {claim}
 - local[8] -> local[{CPUS}]: raw {r['scaling_efficiency_8_to_' + str(CPUS)]},
   marginal {r['scaling_efficiency_8_to_' + str(CPUS) + '_marginal']} — capped
   by the sandbox host, not the engine: a Spark-free multiprocessing md5
   probe on this VM measures {r['hw_md5_eff_8_to_32']} efficiency over the
   same 8 -> 32 step (the VM's 32 vCPUs deliver well under linear at full
-  subscription, and the ceiling drifts over time; scaling is clean in
-  the 2 -> 8 region).
-- salted shuffle path (skew strategy) steady at local[{CPUS}]:
-  {r['salted_steady_sec']} s — same per-tile checksums as broadcast.
-- per-tile checksum parity across ALL levels AND both join strategies:
-  **{r['checksum_parity_all_levels_and_salted']}** ({r['n_tiles']} tiles,
-  order-independent sums — the per-band remap-equivalence recast)
+  subscription, and the ceiling drifts over time).
+- skew strategies at local[{CPUS}], same per-tile checksums as broadcast:
+  salted shuffle {r['salted_steady_sec']} s (rounds
+  {r['salted_rounds_sec']}) vs UNSALTED shuffle (the same plan with
+  n_salt=1, carrying the mega-cell hot key on one reducer)
+  {r['unsalted_shuffle_steady_sec']} s (rounds
+  {r['unsalted_shuffle_rounds_sec']}) —
+  **{r['salting_speedup_vs_unsalted_shuffle']}x salting speedup** in this
+  recording{' — the skew win the strategy exists for' if r['salting_speedup_vs_unsalted_shuffle'] >= 1.2 else ' (inconclusive under this host window; AQE skew-split also competes on the probe side)'}.
+  (Broadcast beats both here; salting is for catalogs too big to
+  broadcast.)
+- per-tile checksum parity across ALL levels AND all three join
+  strategies: **{r['checksum_parity_all_levels_and_skew_strategies']}**
+  ({r['n_tiles']} tiles, order-independent sums — the per-band
+  remap-equivalence recast)
 
-Per-query wall sec at {SF_DIR} (local[{CPUS}]):
+Per-query wall sec at {SF_DIR} (local[{CPUS}]); asof_join_window is the
+default as-of path (JVM window), asof_join is the Arrow cogroup twin kept
+as the reference-pattern comparator:
 
 | query | sec |
 |---|---|

@@ -133,46 +133,45 @@ def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
             (col - col % F.lit(tile)).cast("string"),
         ),
     )
-    joined = pts.join(d, "dem_tile_id")
+    # cogroup points-with-tile against the DEM on the tile key: the 16 KB
+    # block crosses the shuffle ONCE PER TILE (a tile join would replicate
+    # it onto every point row — 10^12 points x 16 KB is the difference
+    # between a working plan and a dead one), and the kernel is one numpy
+    # fancy-index gather per tile group
+    def interp(_key, pts_pdf: pd.DataFrame, dem_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pts_pdf) or not len(dem_pdf):
+            return pd.DataFrame({"url": pd.Series(dtype="object"),
+                                 "z": pd.Series(dtype="float64")})
+        t = dem_pdf.iloc[0]
+        h, w = int(t.height), int(t.width)
+        blk = np.asarray(t.block, dtype="float64").reshape(h, w)
+        px = pts_pdf["px"].to_numpy(dtype="float64")
+        py = pts_pdf["py"].to_numpy(dtype="float64")
+        # fractional cell coords within tile (pixel-center)
+        fc = (px - c) / a - 0.5 - int(t.col_off)
+        fr = (py - f0) / e - 0.5 - int(t.row_off)
+        c0 = np.floor(fc).astype("int64")
+        r0 = np.floor(fr).astype("int64")
+        interior = (c0 >= 0) & (c0 < w - 1) & (r0 >= 0) & (r0 < h - 1)
+        cc = np.clip(c0, 0, w - 2)
+        rc = np.clip(r0, 0, h - 2)
+        wc, wr = fc - c0, fr - r0
+        z_bi = (
+            blk[rc, cc] * (1 - wr) * (1 - wc)
+            + blk[rc, cc + 1] * (1 - wr) * wc
+            + blk[rc + 1, cc] * wr * (1 - wc)
+            + blk[rc + 1, cc + 1] * wr * wc
+        )
+        # border fallback: nearest cell within the tile (half-up rounding
+        # = floor(x+0.5), identical in the SQL oracle)
+        ci = np.clip(np.floor(fc + 0.5).astype("int64"), 0, w - 1)
+        ri = np.clip(np.floor(fr + 0.5).astype("int64"), 0, h - 1)
+        z = np.where(interior, z_bi, blk[ri, ci])
+        return pd.DataFrame({"url": pts_pdf["url"].to_numpy(), "z": z})
 
-    def interp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one numpy gather per TILE, not per point: the join replicates the
-        # tile block onto every point row, so reshape it once per group and
-        # fancy-index the whole group's stencil in a few vector ops
-        for pdf in it:
-            if not len(pdf):
-                continue
-            urls, zs = [], []
-            for _tid, g in pdf.groupby("dem_tile_id", sort=False):
-                t = g.iloc[0]
-                h, w = int(t.height), int(t.width)
-                blk = np.asarray(t.block, dtype="float64").reshape(h, w)
-                px = g["px"].to_numpy(dtype="float64")
-                py = g["py"].to_numpy(dtype="float64")
-                # fractional cell coords within tile (pixel-center)
-                fc = (px - c) / a - 0.5 - int(t.col_off)
-                fr = (py - f0) / e - 0.5 - int(t.row_off)
-                c0 = np.floor(fc).astype("int64")
-                r0 = np.floor(fr).astype("int64")
-                interior = (c0 >= 0) & (c0 < w - 1) & (r0 >= 0) & (r0 < h - 1)
-                cc = np.clip(c0, 0, w - 2)
-                rc = np.clip(r0, 0, h - 2)
-                wc, wr = fc - c0, fr - r0
-                z_bi = (
-                    blk[rc, cc] * (1 - wr) * (1 - wc)
-                    + blk[rc, cc + 1] * (1 - wr) * wc
-                    + blk[rc + 1, cc] * wr * (1 - wc)
-                    + blk[rc + 1, cc + 1] * wr * wc
-                )
-                # border fallback: nearest cell within the tile (half-up
-                # rounding = floor(x+0.5), identical in the SQL oracle)
-                ci = np.clip(np.floor(fc + 0.5).astype("int64"), 0, w - 1)
-                ri = np.clip(np.floor(fr + 0.5).astype("int64"), 0, h - 1)
-                z = np.where(interior, z_bi, blk[ri, ci])
-                urls.append(g["url"].to_numpy())
-                zs.append(z)
-            yield pd.DataFrame(
-                {"url": np.concatenate(urls), "z": np.concatenate(zs)}
-            )
-
-    return joined.mapInPandas(interp, schema="url string, z double")
+    return (
+        pts.select("dem_tile_id", "url", "px", "py")
+        .groupBy("dem_tile_id")
+        .cogroup(d.groupBy("dem_tile_id"))
+        .applyInPandas(interp, schema="url string, z double")
+    )

@@ -181,7 +181,13 @@ def pip_join_salted(
     replicated = fc.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("salt", F.col("salt").cast("long"))
-    cand = salted_pages.hint("shuffle_hash").join(replicated, ["cell", "salt"])
+    # hint the REPLICATED FOOTPRINT side as the shuffle-hash build side:
+    # the hash map is built from the tiny dimension (n_cells x n_salt
+    # rows), never from the fact side — a pages-side build map holds a
+    # whole shuffle partition in memory and OOMs on a hot key
+    cand = salted_pages.join(
+        replicated.hint("shuffle_hash"), ["cell", "salt"]
+    )
     return _pip_filter(cand, list(keep))
 
 
