@@ -96,6 +96,126 @@ def cmd_package(args) -> int:
     return 0
 
 
+def cmd_dem_sample(args) -> int:
+    from .operators.raster_join import sample_dem_z
+    from .sources.dem_tiles import fixture_dem
+    from .sources.writers import write_table
+
+    spark = _spark(args)
+    pts = spark.read.parquet(args.points).select("url", "px", "py")
+    dem = (
+        spark.read.parquet(args.dem_parquet)
+        if args.dem_parquet
+        else fixture_dem(spark)
+    )
+    out = sample_dem_z(pts, dem, band=args.band)
+    write_table(out, args.out, overwrite=args.overwrite)
+    print(json.dumps({"rows": out.count(), "out": args.out}))
+    spark.stop()
+    return 0
+
+
+def cmd_rpc_refine(args) -> int:
+    """Refine the RPC model against GCPs (shift / shift-drift, A9)."""
+    import numpy as np
+
+    from .operators.fit import refine_per_image
+    from .sources.footprints import fixture_rpc_model
+    from .sources.param_io import read_gcps_geojson
+
+    spark = _spark(args)
+    m = fixture_rpc_model()
+    gcps = read_gcps_geojson(args.gcps)
+    rows = []
+    for g in gcps:
+        pred = m.world_to_pixel(np.array([[g["x"]], [g["y"]], [g["z"]]]))
+        rows.append(
+            (g["filename"], g["j"], g["i"], float(pred[0, 0]), float(pred[1, 0]))
+        )
+    df = spark.createDataFrame(
+        rows,
+        "filename string, j_obs double, i_obs double, j_pred double, i_pred double",
+    )
+    for r in refine_per_image(df, args.method).collect():
+        print(json.dumps(r.asDict()))
+    spark.stop()
+    return 0
+
+
+def cmd_knn(args) -> int:
+    from .functions.geotag import with_geotag
+    from .operators import tile_join
+    from .operators.knn import knn_bruteforce, knn_kring
+    from .sources import footprints as fp
+    from .sources.pages import synthetic_pages
+    from .sources.writers import write_table
+
+    spark = _spark(args)
+    if args.pages_parquet:
+        pages = spark.read.parquet(args.pages_parquet).select("url", "text")
+    else:
+        pages = synthetic_pages(spark, args.n_pages).select("url", "text")
+    pc = tile_join.assign_cells(with_geotag(pages, token="float"))
+    if args.ring:
+        out = knn_kring(
+            pc, fp.footprint_cells_df(spark), fp.footprint_summary_df(spark),
+            k=args.k, ring=args.ring,
+        )
+    else:
+        out = knn_bruteforce(pc, fp.footprint_summary_df(spark), k=args.k)
+    out = out.select("url", "rank", "filename")
+    write_table(out, args.out, overwrite=args.overwrite)
+    print(json.dumps({"rows": out.count(), "out": args.out}))
+    spark.stop()
+    return 0
+
+
+def cmd_fit(args) -> int:
+    """Fit per-image exterior poses from GCPs (distributed solvePnP)."""
+    from .operators.fit import fit_exterior_per_image
+    from .sources.param_io import read_gcps_geojson, read_int_param
+
+    spark = _spark(args)
+    int_params_all = read_int_param(args.int_params)
+    cam_id, ip = next(iter(int_params_all.items()))
+    int_params = dict(
+        cam_type=ip["type"], im_size=tuple(ip["im_size"]),
+        focal_len=ip["focal_len"],
+        sensor_size=tuple(ip["sensor_size"]) if "sensor_size" in ip else None,
+        cx=ip.get("cx", 0.0), cy=ip.get("cy", 0.0),
+        dist={k: v for k, v in ip.items()
+              if k in ("k1", "k2", "k3", "k4", "k5", "k6", "p1", "p2")},
+    )
+    gcps = read_gcps_geojson(args.gcps)
+    df = spark.createDataFrame(
+        [(g["filename"], g["j"], g["i"], g["x"], g["y"], g["z"]) for g in gcps],
+        "filename string, j double, i double, x double, y double, z double",
+    )
+    for r in fit_exterior_per_image(df, int_params).collect():
+        d = r.asDict()
+        d["camera"] = cam_id
+        print(json.dumps(d))
+    spark.stop()
+    return 0
+
+
+def cmd_exif_scan(args) -> int:
+    from .sources.exif import exif_scan
+    from .sources.writers import write_table
+
+    spark = _spark(args)
+    files = spark.read.parquet(args.input).select("filename", "data")
+    out = exif_scan(files)
+    if args.out:
+        write_table(out, args.out, overwrite=args.overwrite)
+        print(json.dumps({"rows": out.count(), "out": args.out}))
+    else:
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="orthority_spark")
     ap.add_argument("--master", default="local[*]")
@@ -127,6 +247,41 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("package", help="emit the --py-files zip")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_package)
+
+    p = sub.add_parser("dem-sample", help="per-point bilinear DEM z sample")
+    p.add_argument("--points", required=True, help="parquet with url/px/py")
+    p.add_argument("--dem-parquet", default=None,
+                   help="DEM tile table (default: synthetic fixture DEM)")
+    p.add_argument("--band", type=int, default=1)
+    p.add_argument("--out", required=True)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_dem_sample)
+
+    p = sub.add_parser("rpc-refine", help="RPC shift/shift-drift refinement from GCPs")
+    p.add_argument("--gcps", required=True, help="GCP GeoJSON")
+    p.add_argument("--method", choices=["shift", "shift-drift"], default="shift")
+    p.set_defaults(fn=cmd_rpc_refine)
+
+    p = sub.add_parser("knn", help="k nearest footprints per page")
+    p.add_argument("--pages-parquet")
+    p.add_argument("--n-pages", type=int, default=100_000)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--ring", type=int, default=0,
+                   help="k-ring radius (0 = broadcast brute force)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_knn)
+
+    p = sub.add_parser("fit", help="fit per-image exterior poses from GCPs")
+    p.add_argument("--gcps", required=True, help="GCP GeoJSON")
+    p.add_argument("--int-params", required=True, help="interior params YAML")
+    p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("exif-scan", help="parse EXIF tags from binary blobs")
+    p.add_argument("--input", required=True, help="parquet with filename/data")
+    p.add_argument("--out", default=None)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_exif_scan)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -28,7 +28,8 @@ from .param_io import ParamFileError
 
 # TIFF value types: (struct code, size in bytes)
 _TYPES = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
-          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8)}
+          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+          11: ("f", 4), 12: ("d", 8)}
 
 # tag ids (https://exiftool.org/TagNames/EXIF.html)
 TAG_IMAGE_WIDTH = 0x0100
@@ -53,6 +54,10 @@ TAG_GPS_LON_REF = 0x0003
 TAG_GPS_LON = 0x0004
 TAG_GPS_ALT_REF = 0x0005
 TAG_GPS_ALT = 0x0006
+# GeoTIFF RPCCoefficientTag: 92 DOUBLEs (err_bias, err_rand, the 10
+# offset/scale scalars, then 4 x 20 coefficient blocks) — what GDAL
+# serves as `im.rpcs` to the reference (param_io.py:337-364)
+TAG_RPC = 50844
 
 # mm per focal-plane resolution unit (exif.py:268-275)
 _MM_PER_UNIT = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}
@@ -274,6 +279,68 @@ def exif_ext_param(t: ExifTags) -> dict:
     )
     opk = rpy_to_opk(tuple(math.radians(v) for v in t.rpy))
     return dict(xyz=xyz, opk=opk, camera=exif_cam_id(t))
+
+
+# ---------------------------------------------------------------------------
+# RPC image tags (S8 made genuine: read_im_rpc_param without GDAL)
+# ---------------------------------------------------------------------------
+
+# order of the 10 scalar offset/scale values inside tag 50844, after
+# (err_bias, err_rand) — the GeoTIFF RPC layout
+_RPC_SCALARS = [
+    "line_off", "samp_off", "lat_off", "long_off", "height_off",
+    "line_scale", "samp_scale", "lat_scale", "long_scale", "height_scale",
+]
+_RPC_COEFFS = ["line_num_coeff", "line_den_coeff", "samp_num_coeff", "samp_den_coeff"]
+
+
+def parse_rpc_tag(data: bytes) -> dict:
+    """TIFF bytes -> oty rpc dict from the RPCCoefficientTag (92 doubles)."""
+    tags, _ = parse_tiff_tags(data)
+    if TAG_RPC not in tags:
+        raise ParamFileError("No RPC parameters found in the image tags.")
+    vals = tags[TAG_RPC]
+    if not isinstance(vals, tuple) or len(vals) != 92:
+        raise ParamFileError("RPCCoefficientTag must carry 92 doubles.")
+    rpc = dict(zip(_RPC_SCALARS, vals[2:12]))
+    for i, k in enumerate(_RPC_COEFFS):
+        rpc[k] = list(vals[12 + 20 * i : 32 + 20 * i])
+    return rpc
+
+
+def build_rpc_tag_bytes(rpc: dict, im_size: tuple[int, int] = (1024, 768)) -> bytes:
+    """Minimal TIFF carrying an RPCCoefficientTag (fixture writer twin)."""
+    e = "<"
+    vals = [0.0, 0.0] + [float(rpc[k]) for k in _RPC_SCALARS]
+    for k in _RPC_COEFFS:
+        vals.extend(float(v) for v in rpc[k])
+    payload = struct.pack(e + "d" * 92, *vals)
+    n = 3
+    ifd_size = 2 + 12 * n + 4
+    heap_off = 8 + ifd_size
+    ifd = struct.pack(e + "H", n)
+    ifd += struct.pack(e + "HHI", TAG_IMAGE_WIDTH, 4, 1) + struct.pack(e + "I", im_size[0])
+    ifd += struct.pack(e + "HHI", TAG_IMAGE_LENGTH, 4, 1) + struct.pack(e + "I", im_size[1])
+    ifd += struct.pack(e + "HHII", TAG_RPC, 12, 92, heap_off)
+    ifd += struct.pack(e + "I", 0)
+    return b"II" + struct.pack(e + "HI", 42, 8) + ifd + payload
+
+
+def read_im_rpc_param(file) -> dict:
+    """Image file (path or bytes) with RPC tags -> {filename: {'rpc': ...,
+    'im_size': ...}} — the reference's read_im_rpc_param
+    (param_io.py:330-395) without GDAL."""
+    from pathlib import Path
+
+    if isinstance(file, (bytes, bytearray)):
+        data, name = bytes(file), "image"
+    else:
+        data, name = Path(file).read_bytes(), Path(file).name
+    tags, _ = parse_tiff_tags(data)
+    out = {"rpc": parse_rpc_tag(data)}
+    if TAG_IMAGE_WIDTH in tags and TAG_IMAGE_LENGTH in tags:
+        out["im_size"] = [int(tags[TAG_IMAGE_WIDTH]), int(tags[TAG_IMAGE_LENGTH])]
+    return {name: out}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""CLI subcommands drive the engine end-to-end (reference cli.py
+analogue): dem-sample, rpc-refine, knn, fit, exif-scan, dedup."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from orthority_spark import cli
+
+
+class _NoStop:
+    """Session proxy: the CLI stops its session; tests share one."""
+
+    def __init__(self, spark):
+        self._s = spark
+
+    def __getattr__(self, name):
+        if name == "stop":
+            return lambda: None
+        return getattr(self._s, name)
+
+
+@pytest.fixture()
+def cli_spark(spark, monkeypatch):
+    monkeypatch.setattr(cli, "_spark", lambda args: _NoStop(spark))
+    return spark
+
+
+def test_cli_dem_sample(cli_spark, tmp_path, capsys):
+    pts = tmp_path / "pts"
+    cli_spark.createDataFrame(
+        [("u1", 20000.0, 30000.0), ("u2", 20100.0, 30100.0)],
+        "url string, px double, py double",
+    ).write.parquet(str(pts))
+    out = tmp_path / "z"
+    rc = cli.main(["dem-sample", "--points", str(pts), "--out", str(out)])
+    assert rc == 0
+    got = {r.url: r.z for r in cli_spark.read.parquet(str(out)).collect()}
+    assert len(got) == 2 and 750 < got["u1"] < 900
+    assert json.loads(capsys.readouterr().out)["rows"] == 2
+
+
+def _write_gcps(tmp_path, model, n=8, plane=825.0, shift=(0.0, 0.0)):
+    from orthority_spark.sources.param_io import write_gcps_geojson
+
+    rng = np.random.RandomState(13)
+    ji = np.vstack([rng.uniform(10, model.im_size[0] - 10, n),
+                    rng.uniform(10, model.im_size[1] - 10, n)])
+    xyz = model.pixel_to_world_z(ji, plane)
+    recs = [
+        {"filename": "img_x", "j": float(ji[0, k] + shift[0]),
+         "i": float(ji[1, k] + shift[1]), "x": float(xyz[0, k]),
+         "y": float(xyz[1, k]), "z": float(xyz[2, k]), "id": f"g{k}",
+         "info": None}
+        for k in range(n)
+    ]
+    f = tmp_path / "gcps.geojson"
+    write_gcps_geojson(f, recs)
+    return f
+
+
+def test_cli_rpc_refine(cli_spark, tmp_path, capsys):
+    from orthority_spark.sources.footprints import fixture_rpc_model
+
+    f = _write_gcps(tmp_path, fixture_rpc_model(), plane=825.0,
+                    shift=(1.5, -0.5))
+    rc = cli.main(["rpc-refine", "--gcps", str(f), "--method", "shift"])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert row["dj"] == pytest.approx(1.5, abs=1e-6)
+    assert row["di"] == pytest.approx(-0.5, abs=1e-6)
+
+
+def test_cli_knn_kring(cli_spark, tmp_path, capsys):
+    out = tmp_path / "knn"
+    rc = cli.main(["knn", "--n-pages", "2000", "--k", "2", "--ring", "12",
+                   "--out", str(out)])
+    assert rc == 0
+    got = cli_spark.read.parquet(str(out))
+    assert json.loads(capsys.readouterr().out)["rows"] == got.count() > 0
+    assert got.groupBy("url").count().agg({"count": "max"}).first()[0] <= 2
+
+
+def test_cli_fit(cli_spark, tmp_path, capsys):
+    from orthority_spark.sources.footprints import fixture_models
+    from orthority_spark.sources.param_io import write_int_param
+
+    m = fixture_models()["img_0000"]
+    yml = tmp_path / "int.yaml"
+    write_int_param(yml, {"cam-1": {
+        "type": "pinhole", "im_size": list(m.im_size),
+        "focal_len": m.focal_len, "sensor_size": list(m.sensor_size),
+        "cx": m.cx, "cy": m.cy,
+    }})
+    f = _write_gcps(tmp_path, m)
+    rc = cli.main(["fit", "--gcps", str(f), "--int-params", str(yml)])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.splitlines()[0])
+    np.testing.assert_allclose((row["x"], row["y"], row["z"]), m.xyz, atol=1e-3)
+    assert row["rms_px"] < 1e-4 and row["camera"] == "cam-1"
+
+
+def test_cli_exif_scan(cli_spark, tmp_path, capsys):
+    from orthority_spark.sources.exif import build_exif_bytes
+
+    src = tmp_path / "blobs"
+    cli_spark.createDataFrame(
+        [("a.tif", bytearray(build_exif_bytes(
+            (200, 150), focal_len_mm=5.0, sensor_size_mm=(6.0, 4.5),
+            lla=(-33.7, 24.2, 825.0), rpy_deg=(0.0, 0.0, 0.0))))],
+        "filename string, data binary",
+    ).write.parquet(str(src))
+    rc = cli.main(["exif-scan", "--input", str(src)])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert row["focal_len"] == pytest.approx(5.0, rel=1e-6)
+    assert row["lat"] == pytest.approx(-33.7, abs=1e-8)
