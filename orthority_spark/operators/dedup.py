@@ -43,10 +43,13 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, sh): distinct word-n-gram shingles."""
+    """(id, sh): distinct word-n-gram shingles. Documents with fewer than
+    ``n`` tokens yield no shingles (without the guard, sequence(0, -1)
+    counts DOWN in Spark and l[i+k] throws INVALID_ARRAY_INDEX)."""
     parts = ", ".join(f"l[i+{k}]" for k in range(n))
     return (
         df.withColumn("l", F.split(F.col(text_col), " "))
+        .where(F.size("l") >= n)
         .select(
             F.col(id_col).alias("id"),
             F.explode(

@@ -419,6 +419,29 @@ def _fit_gcp_grid(m) -> "np.ndarray":
     return np.vstack([jg.ravel(), ig.ravel()])
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing over a binary column, fully oracle-gated:
+    the fake codec's features are exact integer functions of the payload
+    bytes (length, parity, md5 prefix), so the distributed Arrow decode
+    path is SQL-checkable end to end."""
+    from .multimodal.binary import audio_decode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "audio", F.encode(F.col("text"), "utf-8")
+    )
+    return audio_decode(docs, id_col="doc_id", binary_col="audio")
+
+
+def o_audio_features() -> str:
+    return """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) // 2 AS BIGINT) AS n_samples,
+       CAST(1 + strlen(text) % 2 AS INTEGER) AS n_channels,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000 AS rms_ppm
+FROM documents"""
+
+
 def q_fit_exterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exterior pose solve (cv2.solvePnP recast, reference
     fit.py:299-360): a deterministic GCP grid per fixture image, one
@@ -499,4 +522,5 @@ QUERIES = {
     "pan_sharpen_stats": (q_pan_sharpen_stats, o_pan_sharpen_stats),
     "pan_sharpen_rows": (q_pan_sharpen_rows, o_pan_sharpen_rows),
     "fit_exterior": (q_fit_exterior, o_fit_exterior),
+    "audio_features": (q_audio_features, o_audio_features),
 }

@@ -64,6 +64,7 @@ def _shingles(spark, sf_dir) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .withColumn("l", F.split(F.col("text"), " "))
+        .where(F.size("l") >= 3)  # short docs: no shingles, not a crash
         .select(
             "doc_id",
             F.explode(

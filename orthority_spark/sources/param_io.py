@@ -91,6 +91,19 @@ _INT_TEMPLATE = {
 
 VALID_CAM_TYPES = {"pinhole", "brown", "opencv", "fisheye", "rpc"}
 
+# optional parameter names per frame camera type (the reference's
+# _opt_frame_schema, /root/reference/orthority/param_io.py:60-77): any
+# other key is an error, not silently carried
+_COMMON_OPT = {"sensor_size", "cx", "cy"}
+OPT_FRAME_KEYS = {
+    "pinhole": _COMMON_OPT,
+    "brown": _COMMON_OPT | {"k1", "k2", "p1", "p2", "k3"},
+    "opencv": _COMMON_OPT
+    | {"k1", "k2", "k3", "k4", "k5", "k6", "p1", "p2",
+       "s1", "s2", "s3", "s4", "tx", "ty"},
+    "fisheye": _COMMON_OPT | {"k1", "k2", "k3", "k4"},
+}
+
 
 def read_int_param(file: str | Path) -> dict:
     """oty interior-parameter YAML -> {cam_id: params dict}."""
@@ -102,6 +115,15 @@ def read_int_param(file: str | Path) -> dict:
             raise ParamFileError(f"{cam_id}: unknown camera type '{p['type']}'")
         if len(p["im_size"]) != 2:
             raise ParamFileError(f"{cam_id}: im_size must have 2 values")
+        if p["type"] in OPT_FRAME_KEYS:
+            extras = (
+                set(p) - {"type", "im_size", "focal_len"} - OPT_FRAME_KEYS[p["type"]]
+            )
+            if extras:
+                raise ParamFileError(
+                    f"{cam_id}: unsupported parameter(s) {sorted(extras)} "
+                    f"for camera type '{p['type']}'"
+                )
     return data
 
 
