@@ -94,11 +94,14 @@ def knn_kring(
         )
         .distinct()
     )
+    # no distinct needed: the expanded index is distinct on
+    # (filename, cell) and each page carries exactly one cell, so a
+    # (url, filename) pair can appear at most once — a distinct here
+    # would shuffle the full candidate set for nothing
     cand = (
         pages_cells.select("url", "px", "py", "cell")
         .join(F.broadcast(expanded), "cell")
         .join(F.broadcast(summary.select("filename", "cx", "cy")), "filename")
         .select("url", "px", "py", "filename", "cx", "cy")
-        .distinct()
     )
     return _topk(cand.withColumn("dist_sq", _dist_sq()), k)
