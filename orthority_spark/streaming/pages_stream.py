@@ -50,6 +50,27 @@ def tile_counts_stream(pages_stream: DataFrame, window: str = "1 hour",
     )
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each distinct
+    text within the watermark horizon (dropDuplicatesWithinWatermark on
+    md5(text) — the streaming twin of operators/dedup.dedup_exact).
+
+    State is bounded by the watermark: a hash older than the horizon is
+    evicted, so the store does not grow with corpus size — the trade is
+    that a duplicate arriving later than the watermark is re-emitted
+    (same contract as any watermarked streaming dedup at 100 TB)."""
+    return (
+        docs_stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "tiles"
 ):

@@ -119,3 +119,104 @@ def test_stateful_eviction_processing_time(spark, tmp_path):
         assert got == [(100, 1), (101, 1)], got
     finally:
         q.stop()
+
+
+def test_stream_dedup_exact_first_arrival(spark, tmp_path):
+    """Streaming dedup keeps one row per distinct text (the first
+    arrival), matching batch dedup_exact group counts."""
+    import datetime as dt
+
+    from orthority_spark.streaming.pages_stream import dedup_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for k in range(30):
+        text = f"doc body {k % 10}"  # 10 distinct texts, 3 copies each
+        rows.append(
+            (f"u{k}", t0 + dt.timedelta(minutes=k), bytearray(b""), text, "en")
+        )
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(2).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(str(src))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT text, COUNT(*) AS n FROM dedup_s GROUP BY text").collect()
+    assert len(got) == 10
+    assert all(r.n == 1 for r in got)
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """The tile-count watermark persists in the checkpoint: a restart fed
+    data older than the advanced watermark drops it deterministically."""
+    import datetime as dt
+
+    from orthority_spark.streaming.pages_stream import (
+        run_available_now,
+        stream_pages_dir,
+        tile_counts_stream,
+    )
+
+    def mk_rows(ts, n, tag):
+        # all rows carry a geotag INSIDE the fixture block so they count
+        return [
+            (f"{tag}{k}", ts, bytearray(b""),
+             "page geo:-33.700100,24.199900 body", "en")
+            for k in range(n)
+        ]
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def add_file(rows, name):
+        d = stage / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        next(d.glob("part-*.parquet")).rename(src / f"{name}.parquet")
+
+    def drain(sink: list):
+        # UPDATE mode through foreachBatch: watermark semantics apply
+        # (complete mode retains all state and aggregates late rows; a
+        # memory sink cannot recover from a checkpoint)
+        q = (
+            tile_counts_stream(stream_pages_dir(spark, str(src)))
+            .writeStream.foreachBatch(
+                lambda df, _id: sink.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t_new = dt.datetime(2026, 1, 2, 12, 0, 0)
+    t_late = t_new - dt.timedelta(hours=6)  # far older than the 2 h watermark
+    add_file(mk_rows(t_new, 5, "a"), "b1")
+    got1: list = []
+    drain(got1)
+    assert {(r.start, r.n_pages) for r in got1} == {(t_new, 5)}
+
+    # restart from the same checkpoint with ONLY late data arriving: the
+    # persisted watermark (t_new - 2 h) drops every row, no late window
+    add_file(mk_rows(t_late, 7, "b"), "b2")
+    got2: list = []
+    drain(got2)
+    assert all(r.start != t_late for r in got2)
+    assert sum(r.n_pages for r in got2 if r.start == t_late) == 0
