@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "tile_checksums",
     "rollup_pyramid",
     "world_to_pixel",
+    "world_to_pixel_jvm",
     "dem_z_sample",
     "minhash_signatures",
     "lsh_candidates",

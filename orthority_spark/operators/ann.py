@@ -69,8 +69,8 @@ def ann_bruteforce(qz: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame
 
 
 def train_centroids(qz: DataFrame, n_centroids: int = 8) -> np.ndarray:
-    """Coarse quantiser: per-label mean vectors collected to the driver
-    (the sampled-k-means stand-in; labels are the seed clusters)."""
+    """Label-seeded centroid init: per-label mean vectors collected to the
+    driver (the cheap seed for :func:`train_centroids_kmeans`)."""
     rows = (
         qz.withColumn("c", F.col("label") % n_centroids)
         .select("c", F.posexplode("qe").alias("i", "v"))
@@ -85,14 +85,65 @@ def train_centroids(qz: DataFrame, n_centroids: int = 8) -> np.ndarray:
     return cents
 
 
+def train_centroids_kmeans(
+    qz: DataFrame, n_centroids: int = 8, n_iter: int = 8
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's k-means over the quantised embeddings — the
+    real IVF coarse quantiser (assignment = nearest centroid, same metric
+    as :func:`assign_buckets`).
+
+    Each iteration is ONE Spark job: map-side nearest-centroid assignment
+    against the broadcast centroids (codegen'd expressions) + a
+    partial-aggregated groupBy(bucket, dim) mean; only the K x D centroid
+    matrix and a scalar inertia ever reach the driver. Returns
+    (centroids, per-iteration Euclidean inertia — classic Lloyd, monotone
+    non-increasing; empty clusters keep their previous centroid)."""
+    cents = train_centroids(qz, n_centroids)
+    sum_nn = float(qz.agg(F.sum("nn")).first()[0])
+    inertia: list[float] = []
+    for _ in range(n_iter):
+        b = assign_buckets(qz, cents, nprobe=1)
+        stats = (
+            b.select("bucket", F.posexplode("qe").alias("i", "v"))
+            .groupBy("bucket", "i")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = np.zeros_like(cents)
+        seen = set()
+        for r in stats:
+            new[r.bucket, r.i] = r.m
+            seen.add(r.bucket)
+        for k in range(n_centroids):
+            if k not in seen:
+                new[k] = cents[k]
+        # inertia = sum ||x||^2 - 2 * sum(best score), best over the NEW
+        # centroids' (c.x - ||c||^2/2) — one scalar aggregate
+        score_exprs = []
+        for c in new:
+            bias = -0.5 * float(np.dot(c, c))
+            terms = " + ".join(
+                f"qe[{i}] * {c[i]!r}" for i in range(len(c)) if c[i] != 0.0
+            )
+            score_exprs.append(f"(({terms or '0.0'}) + {bias!r})")
+        best = f"greatest({', '.join(score_exprs)})"
+        tot = float(qz.select(F.expr(best).alias("s")).agg(F.sum("s")).first()[0])
+        inertia.append(sum_nn - 2.0 * tot)
+        cents = new
+    return cents, inertia
+
+
 def assign_buckets(qz: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> DataFrame:
-    """Map-side bucket assignment: nearest (by int dot on the quantised
-    embedding) of the broadcast centroids; nprobe>1 replicates each
-    vector into its top-nprobe buckets (query-side fan-out)."""
+    """Map-side bucket assignment: NEAREST centroid by Euclidean distance
+    via the dot identity argmin ||x-c||^2 = argmax (c.x - ||c||^2 / 2)
+    (||x||^2 is constant per vector), evaluated as codegen'd expressions
+    against the broadcast centroids; nprobe>1 replicates each vector into
+    its top-nprobe buckets (query-side fan-out)."""
     exprs = []
     for ci, c in enumerate(centroids):
+        bias = -0.5 * float(np.dot(c, c))
         terms = " + ".join(f"qe[{i}] * {c[i]!r}" for i in range(len(c)) if c[i] != 0.0)
-        exprs.append(f"struct(({terms or '0.0'}) AS score, {ci} AS bucket)")
+        exprs.append(f"struct(({terms or '0.0'}) + {bias!r} AS score, {ci} AS bucket)")
     top = (
         f"slice(reverse(array_sort(array({', '.join(exprs)}))), 1, {nprobe})"
     )

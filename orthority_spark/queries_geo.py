@@ -328,7 +328,9 @@ def q_world_to_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc.mapInPandas(project, schema="url string, j double, i double")
 
 
-def o_world_to_pixel() -> str:
+def _wtp_exprs() -> tuple[str, str]:
+    """(j, i) projection SQL expressions for img_0000 — shared verbatim by
+    the DuckDB oracle AND the JVM-expression Spark twin."""
     m = fp.fixture_models()["img_0000"]
     R, T, K = m.R, m.T, m.K
     x = f"(px - {dlit(T[0, 0])})"
@@ -339,7 +341,28 @@ def o_world_to_pixel() -> str:
     cz = f"({dlit(R[0, 2])} * {x} + {dlit(R[1, 2])} * {y} + {dlit(R[2, 2])} * {z})"
     j = f"{dlit(K[0, 0])} * ({cx} / {cz}) + {dlit(K[0, 2])}"
     i = f"{dlit(K[1, 1])} * ({cy} / {cz}) + {dlit(K[1, 2])}"
+    return j, i
+
+
+def o_world_to_pixel() -> str:
+    j, i = _wtp_exprs()
     return f"{pages_cte()} SELECT url, {j} AS j, {i} AS i FROM cells"
+
+
+def q_world_to_pixel_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same projection as a pure JVM Column expression — zero Python
+    in the hot path, whole-stage codegen end to end. This is the plan a
+    pinhole projection SHOULD run at 100 TB; the Arrow twin above stays
+    as the general-camera (distortion) surface and the two share one
+    oracle, so the driver proves them equal."""
+    j, i = _wtp_exprs()
+    return pages_cells(spark, sf_dir).select(
+        "url", F.expr(j).alias("j"), F.expr(i).alias("i")
+    )
+
+
+def o_world_to_pixel_jvm() -> str:
+    return o_world_to_pixel()
 
 
 def q_footprint_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,5 +397,6 @@ QUERIES = {
     "knn_kring": (q_knn_kring, o_knn_kring),
     "rollup_pyramid": (q_rollup_pyramid, o_rollup_pyramid),
     "world_to_pixel": (q_world_to_pixel, o_world_to_pixel),
+    "world_to_pixel_jvm": (q_world_to_pixel_jvm, o_world_to_pixel_jvm),
     "footprint_bounds": (q_footprint_bounds, o_footprint_bounds),
 }

@@ -58,3 +58,39 @@ def test_ivf_recall_vs_bruteforce(spark, qz):
     # approx never returns a worse-than-candidate neighbor for rank 1 when
     # the true NN shares a probed bucket — sanity: all results valid ids
     assert all(q in QUERY_IDS for q, _ in approx)
+
+
+def test_kmeans_inertia_monotone_and_recall(spark):
+    """Distributed Lloyd's k-means: Euclidean inertia is monotone
+    non-increasing across iterations, and the trained quantiser's IVF
+    recall vs exact top-k is at least as good as the label-seed's."""
+    from orthority_spark.operators.ann import (
+        ann_bruteforce, ann_ivf, quantize, train_centroids,
+        train_centroids_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qz = quantize(emb).cache()
+    cents, inertia = train_centroids_kmeans(qz, n_centroids=8, n_iter=5)
+    assert len(inertia) == 5
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(inertia, inertia[1:]))
+
+    qids = [int(r.vec_id) for r in qz.select("vec_id").limit(5).collect()]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce(qz, qids, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf(qz, qids, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    seed = train_centroids(qz, 8)
+    got_seed = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf(qz, qids, seed, k=5, nprobe=2).collect()
+    }
+    recall_seed = len(got_seed & exact) / len(exact)
+    assert recall >= 0.5
+    assert recall >= recall_seed - 0.2  # k-means never collapses recall
+    qz.unpersist()
