@@ -307,3 +307,39 @@ def test_fit_exterior_per_image_spark(spark):
             (got.omega, got.phi, got.kappa), m.opk, atol=1e-5
         )
         assert got.rms_px < 1e-4
+
+
+@pytest.mark.parametrize("cam_type,dist", [
+    ("pinhole", {}),
+    ("opencv", dict(k1=-0.08, k2=0.03, p1=0.002, p2=-0.001,
+                    k3=0.0, k4=0.0, k5=0.0, k6=0.0)),
+])
+def test_fit_frame_multiple_images_other_models(cam_type, dist):
+    """The multi-image interior fit meets the reference contract for the
+    other frame models too (brown is covered separately)."""
+    from orthority_spark.geom.camera import FrameModel
+    from orthority_spark.operators.fit import _model_with_pose, fit_frame
+
+    base = dict(cam_type=cam_type, im_size=(200, 150), focal_len=5.0,
+                sensor_size=(6.0, 4.5), cx=-0.01, cy=0.02, dist=dist)
+    j, i = np.arange(25, 200, 35.0), np.arange(20, 150, 30.0)
+    jg, ig = np.meshgrid(j, i)
+    grid_ji = np.vstack([jg.ravel(), ig.ravel()])
+    gcps, truth = {}, {}
+    for k, (exyz, eopk_deg) in enumerate(zip(
+        [(2e4, 3e4, 1e3), (3e4, 3e4, 1e3), (3e4, 3e4, 2e3)],
+        [(-3.0, 2.0, 10.0), (-15.0, 2.0, 10.0), (-30.0, 20.0, 10.0)],
+    )):
+        cam = FrameModel(**base, xyz=exyz, opk=tuple(np.radians(eopk_deg)))
+        xyz = cam.pixel_to_world_z(grid_ji, 0.0)
+        gcps[f"file{k}"] = (grid_ji, xyz)
+        truth[f"file{k}"] = xyz
+    int_p, ext = fit_frame(cam_type, (200, 150), gcps)
+    for name, e in ext.items():
+        test_cam = _model_with_pose(int_p, e["xyz"], e["opk"])
+        np.testing.assert_allclose(
+            test_cam.world_to_pixel(truth[name]), grid_ji, atol=0.1
+        )
+        np.testing.assert_allclose(
+            test_cam.pixel_to_world_z(grid_ji, 0.0), truth[name], atol=1.0
+        )

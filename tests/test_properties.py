@@ -140,3 +140,29 @@ def test_rpc_roundtrip_property(dlon, dlat, z):
     xyz = m.pixel_to_world_z(ji, z)
     assert abs(xyz[0, 0] - lon) < 1e-9
     assert abs(xyz[1, 0] - lat) < 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.floats(min_value=-0.08, max_value=0.08),   # omega
+    st.floats(min_value=-0.08, max_value=0.08),   # phi
+    st.floats(min_value=-3.0, max_value=3.0),     # kappa
+    st.floats(min_value=600.0, max_value=3000.0), # height
+)
+def test_solve_pnp_recovers_any_pose(o, p, k, h):
+    """solvePnP recast recovers ANY near-nadir pose from 12 clean planar
+    GCPs to the reference exterior-fit tolerances (1e-3 m / 1e-5 rad)."""
+    from orthority_spark.geom.camera import FrameModel
+    from orthority_spark.operators.fit import solve_pnp
+
+    m = FrameModel(cam_type="brown",
+                   dist=dict(k1=-0.1, k2=0.05, p1=0.005, p2=-0.003, k3=0.0),
+                   xyz=(250.0, -120.0, h), opk=(o, p, k), **camera_kw)
+    jg, ig = np.meshgrid(np.linspace(8, 190, 4), np.linspace(6, 142, 3))
+    ji = np.vstack([jg.ravel(), ig.ravel()])  # non-collinear 4x3 grid
+    xyz = m.pixel_to_world_z(ji, 0.0)
+    s = solve_pnp(dict(cam_type="brown", im_size=(200, 150), focal_len=5.0,
+                       sensor_size=(6.0, 4.5), cx=-0.01, cy=0.02,
+                       dist=m.dist), ji, xyz)
+    np.testing.assert_allclose(s["xyz"], m.xyz, atol=1e-3)
+    np.testing.assert_allclose(s["opk"], m.opk, atol=1e-5)
