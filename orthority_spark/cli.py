@@ -68,7 +68,8 @@ def cmd_sharpen(args) -> int:
     df = spark.read.parquet(args.input)
     out = pan_sharpen(df, args.bands.split(","), args.pan)
     write_table(out, args.out, overwrite=args.overwrite)
-    print(json.dumps({"rows": out.count(), "out": args.out}))
+    n = spark.read.parquet(args.out).count()  # metadata count, no recompute
+    print(json.dumps({"rows": n, "out": args.out}))
     spark.stop()
     return 0
 
@@ -110,7 +111,8 @@ def cmd_dem_sample(args) -> int:
     )
     out = sample_dem_z(pts, dem, band=args.band)
     write_table(out, args.out, overwrite=args.overwrite)
-    print(json.dumps({"rows": out.count(), "out": args.out}))
+    n = spark.read.parquet(args.out).count()  # metadata count, no recompute
+    print(json.dumps({"rows": n, "out": args.out}))
     spark.stop()
     return 0
 
@@ -165,7 +167,8 @@ def cmd_knn(args) -> int:
         out = knn_bruteforce(pc, fp.footprint_summary_df(spark), k=args.k)
     out = out.select("url", "rank", "filename")
     write_table(out, args.out, overwrite=args.overwrite)
-    print(json.dumps({"rows": out.count(), "out": args.out}))
+    n = spark.read.parquet(args.out).count()  # metadata count, no recompute
+    print(json.dumps({"rows": n, "out": args.out}))
     spark.stop()
     return 0
 
@@ -173,18 +176,28 @@ def cmd_knn(args) -> int:
 def cmd_fit(args) -> int:
     """Fit per-image exterior poses from GCPs (distributed solvePnP)."""
     from .operators.fit import fit_exterior_per_image
-    from .sources.param_io import read_gcps_geojson, read_int_param
+    from .sources.param_io import (
+        OPT_FRAME_KEYS,
+        read_gcps_geojson,
+        read_int_param,
+    )
 
     spark = _spark(args)
     int_params_all = read_int_param(args.int_params)
+    if len(int_params_all) > 1:
+        print(
+            f"warning: fitting with the first of {len(int_params_all)} "
+            "cameras in the interior parameter file",
+            file=sys.stderr,
+        )
     cam_id, ip = next(iter(int_params_all.items()))
+    dist_keys = OPT_FRAME_KEYS.get(ip["type"], set()) - {"sensor_size", "cx", "cy"}
     int_params = dict(
         cam_type=ip["type"], im_size=tuple(ip["im_size"]),
         focal_len=ip["focal_len"],
         sensor_size=tuple(ip["sensor_size"]) if "sensor_size" in ip else None,
         cx=ip.get("cx", 0.0), cy=ip.get("cy", 0.0),
-        dist={k: v for k, v in ip.items()
-              if k in ("k1", "k2", "k3", "k4", "k5", "k6", "p1", "p2")},
+        dist={k: v for k, v in ip.items() if k in dist_keys},
     )
     gcps = read_gcps_geojson(args.gcps)
     df = spark.createDataFrame(
@@ -208,7 +221,8 @@ def cmd_exif_scan(args) -> int:
     out = exif_scan(files)
     if args.out:
         write_table(out, args.out, overwrite=args.overwrite)
-        print(json.dumps({"rows": out.count(), "out": args.out}))
+        n = spark.read.parquet(args.out).count()  # metadata count, no recompute
+        print(json.dumps({"rows": n, "out": args.out}))
     else:
         for r in out.collect():
             print(json.dumps(r.asDict()))

@@ -182,8 +182,12 @@ def solve_pnp(
     """
     ji = np.asarray(ji, dtype="float64")
     xyz = np.asarray(xyz, dtype="float64")
-    if ji.shape[1] < 3:
-        raise ValueError("At least three GCPs are needed per image.")
+    if ji.shape[1] < 4:
+        # the planar-homography initialisation needs 4 non-collinear
+        # points; with 3 the DLT nullspace is degenerate and LM would
+        # converge to a near-zero-residual but WRONG pose (the reference
+        # allows 3 via cv2's P3P, which this recast does not implement)
+        raise ValueError("At least four GCPs are needed per image.")
     probe = _model_with_pose(int_params, (0, 0, 0), (0, 0, 0))
     xn = probe._pixel_to_camera(ji)[:2]  # undistorted normalised
     R_wc, t, p0 = _pose_from_homography(xn, xyz)
@@ -251,8 +255,11 @@ def fit_frame(
     for name, (ji, _xyz) in gcps.items():
         if ji.shape[1] < 4:
             raise ValueError("At least four GCPs are needed per image.")
-    zs = np.concatenate([xyz[2] - xyz[2].mean() for _, xyz in gcps.values()])
-    if np.abs(zs.mean()) > 1e-5 or zs.std() > 1e-5:
+    # ONE common plane across all images (global std, like the reference's
+    # globally-centred test, fit.py:203-207) — per-image centring would
+    # pass two images on two different planes
+    z_all = np.concatenate([xyz[2] for _, xyz in gcps.values()])
+    if z_all.std() > 1e-5:
         raise ValueError("GCPs should be co-planar to fit interior parameters.")
     dist_names = FIT_DIST_NAMES[cam_type]
     n_dist = len(dist_names)
@@ -282,6 +289,11 @@ def fit_frame(
         rms = float(np.sqrt(np.mean([s["rms"] ** 2 for s in sols.values()])))
         if best is None or rms < best[0]:
             best = (rms, f, sols)
+    if best is None:
+        raise ValueError(
+            "every focal probe failed to solve a pose — the GCPs are "
+            "degenerate (collinear or otherwise rank-deficient)"
+        )
     _, f0, sols0 = best
 
     theta = np.concatenate(

@@ -146,6 +146,11 @@ def gs_params(means: np.ndarray, cov: np.ndarray,
     else:
         w = np.array(weights, dtype="float64")
     w = w.flatten().clip(0, None)
+    if w.sum() == 0:
+        raise ValueError(
+            "all MS-to-pan weights are non-positive (pan anti-correlated "
+            "with every band) — provide explicit weights"
+        )
     w = w / w.sum()
 
     ms_cov = cov[1:, 1:]
@@ -165,7 +170,8 @@ def gs_params(means: np.ndarray, cov: np.ndarray,
     sim_std = float(
         np.sqrt((w.reshape(-1, 1).dot(w.reshape(1, -1)) * ms_cov).sum())
     )
-    gain = sim_std / pan_std
+    # constant pan band: fall back to gain 1 (pre-rewrite behavior)
+    gain = sim_std / pan_std if pan_std > 0 else 1.0
     bias = sim_mean - gain * pan_mean
     return dict(means=means, weights=w, coeffs=coeffs, gain=gain, bias=bias)
 

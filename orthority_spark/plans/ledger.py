@@ -57,6 +57,19 @@ class LedgerJob:
             F.col("part_key").alias(self.part_col)
         ).distinct()
 
+    def _disk_keys(self) -> list[int]:
+        """Partition keys present in the output directory — a pure
+        directory listing (the metadata the parquet reader's planner
+        lists anyway; no data is read)."""
+        prefix = f"{self.part_col}="
+        if not os.path.isdir(self.out_dir):
+            return []
+        return [
+            int(name[len(prefix):])
+            for name in os.listdir(self.out_dir)
+            if name.startswith(prefix)
+        ]
+
     # -- run ---------------------------------------------------------------
     def run(self, data: DataFrame, hash_col, max_partitions: int | None = None) -> dict:
         """Process all partitions not yet in the ledger.
@@ -105,13 +118,20 @@ class LedgerJob:
             .parquet(self.out_dir)
         )
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        # ledger rows from the WRITTEN output: every partition on disk but
+        # ledger rows from the WRITTEN output: every partition ON DISK but
         # not yet in the ledger belongs to this run (including orphans of
-        # a previous crashed run, whose data this run just rewrote)
+        # a previous crashed run, whose data this run just rewrote). The
+        # candidate keys come from the partition DIRECTORY LISTING (pure
+        # metadata — the same listing the reader's planner performs), so
+        # the re-read is partition-PRUNED to this run's keys instead of
+        # scanning every row ever written; without pruning, incremental
+        # runs would be O(total output), not O(this run).
+        on_disk = self.spark.createDataFrame(
+            [(k,) for k in self._disk_keys()], f"{self.part_col} long"
+        )
+        new_keys = on_disk.join(done, self.part_col, "left_anti")
         written = self.spark.read.parquet(self.out_dir).join(
-            done.withColumnRenamed(self.part_col, "part_key"),
-            F.col(self.part_col) == F.col("part_key"),
-            "left_anti",
+            F.broadcast(new_keys), self.part_col, "left_semi"
         )
         ledger_new = (
             written.withColumn("_h", hash_col)

@@ -109,20 +109,26 @@ def _read_ifd(data: bytes, off: int, e: str) -> dict[int, object]:
 
 
 def parse_tiff_tags(data: bytes) -> tuple[dict[int, object], dict[int, object]]:
-    """TIFF bytes -> (merged IFD0+EXIF tags, GPS tags)."""
+    """TIFF bytes -> (merged IFD0+EXIF tags, GPS tags). Any truncated or
+    malformed structure raises ParamFileError (never a raw struct.error)."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ParamFileError("not a TIFF/EXIF byte stream")
     e = "<" if data[:2] == b"II" else ">"
-    magic, ifd0_off = struct.unpack_from(e + "HI", data, 2)
-    if magic != 42:
-        raise ParamFileError("bad TIFF magic")
-    ifd0 = _read_ifd(data, ifd0_off, e)
-    tags = dict(ifd0)
-    if TAG_EXIF_IFD in ifd0:
-        tags.update(_read_ifd(data, int(ifd0[TAG_EXIF_IFD]), e))
-    gps = (
-        _read_ifd(data, int(ifd0[TAG_GPS_IFD]), e) if TAG_GPS_IFD in ifd0 else {}
-    )
+    try:
+        magic, ifd0_off = struct.unpack_from(e + "HI", data, 2)
+        if magic != 42:
+            raise ParamFileError("bad TIFF magic")
+        ifd0 = _read_ifd(data, ifd0_off, e)
+        tags = dict(ifd0)
+        if TAG_EXIF_IFD in ifd0:
+            tags.update(_read_ifd(data, int(ifd0[TAG_EXIF_IFD]), e))
+        gps = (
+            _read_ifd(data, int(ifd0[TAG_GPS_IFD]), e)
+            if TAG_GPS_IFD in ifd0
+            else {}
+        )
+    except (struct.error, IndexError, ValueError) as ex:
+        raise ParamFileError(f"truncated/malformed TIFF structure: {ex}") from ex
     return tags, gps
 
 
@@ -180,9 +186,11 @@ def parse_exif(data: bytes) -> ExifTags:
         t.focal_len = float(tags[TAG_FOCAL])
     if TAG_FOCAL_35 in tags:
         t.focal_len_35 = float(tags[TAG_FOCAL_35])
-    # sensor size from focal plane resolution (exif.py:254-287)
+    # sensor size from focal plane resolution (exif.py:254-287); image
+    # dims fall back to the EXIF pixel-dimension tags like exif_int_param
+    im = t.im_size or t.tag_im_size
     if (
-        t.im_size
+        im
         and TAG_PLANE_UNIT in tags
         and TAG_PLANE_XRES in tags
         and TAG_PLANE_YRES in tags
@@ -190,8 +198,8 @@ def parse_exif(data: bytes) -> ExifTags:
         mm = _MM_PER_UNIT.get(int(tags[TAG_PLANE_UNIT]))
         if mm:
             t.sensor_size = (
-                mm * t.im_size[0] / float(tags[TAG_PLANE_XRES]),
-                mm * t.im_size[1] / float(tags[TAG_PLANE_YRES]),
+                mm * im[0] / float(tags[TAG_PLANE_XRES]),
+                mm * im[1] / float(tags[TAG_PLANE_YRES]),
             )
     # GPS DMS -> decimal (exif.py:303-330)
     if all(k in gps for k in (TAG_GPS_LAT_REF, TAG_GPS_LON_REF, TAG_GPS_LAT, TAG_GPS_LON)):
@@ -231,11 +239,16 @@ def exif_cam_id(t: ExifTags) -> str:
 
 def exif_int_param(t: ExifTags) -> dict:
     """Interior parameters: DJI dewarp -> brown; else pinhole with focal +
-    sensor size, falling back to the 35mm-equivalent focal."""
+    sensor size, falling back to the 35mm-equivalent focal. IFD0 image
+    dimensions fall back to the EXIF PixelX/YDimension tags (real camera
+    EXIF often omits ImageWidth/Length from IFD0)."""
+    im_size = t.im_size or t.tag_im_size
+    if im_size is None:
+        raise ParamFileError("No image size tags (IFD0 or EXIF pixel dims).")
     if t.dewarp:
         if len(t.dewarp) == 9 and any(t.dewarp) and t.tag_im_size:
             p = dict(
-                type="brown", im_size=list(t.im_size),
+                type="brown", im_size=list(im_size),
                 focal_len=list(t.dewarp[:2]),
                 sensor_size=[float(t.tag_im_size[0]), float(t.tag_im_size[1])],
                 cx=t.dewarp[2] / max(t.tag_im_size),
@@ -243,7 +256,7 @@ def exif_int_param(t: ExifTags) -> dict:
             )
             p.update(dict(zip(["k1", "k2", "p1", "p2", "k3"], t.dewarp[-5:])))
             return {exif_cam_id(t): p}
-    p = dict(type="pinhole", im_size=list(t.im_size))
+    p = dict(type="pinhole", im_size=list(im_size))
     if t.focal_len and t.sensor_size:
         p["focal_len"] = t.focal_len
         p["sensor_size"] = list(t.sensor_size)
@@ -502,7 +515,22 @@ def exif_scan(files):
         for pdf in it:
             rows = []
             for fn, blob in zip(pdf["filename"], pdf["data"]):
-                t = parse_exif(bytes(blob))
+                try:
+                    t = parse_exif(bytes(blob))
+                except ParamFileError:
+                    # per-file isolation: one corrupt blob must not kill a
+                    # scan of millions — emit a null row (camera=None) so
+                    # downstream can count/inspect failures
+                    rows.append(
+                        {
+                            "filename": fn, "camera": None, "im_w": None,
+                            "im_h": None, "focal_len": None, "sensor_w": None,
+                            "sensor_h": None, "lat": None, "lon": None,
+                            "alt": None, "roll": None, "pitch": None,
+                            "yaw": None,
+                        }
+                    )
+                    continue
                 rows.append(
                     {
                         "filename": fn,

@@ -176,3 +176,43 @@ def test_rpc_image_tag_missing_raises():
                             sensor_size_mm=(6.0, 4.5))
     with pytest.raises(ParamFileError, match="RPC"):
         parse_rpc_tag(data)
+
+
+def test_exif_scan_isolates_corrupt_blobs(spark):
+    """One corrupt blob must not kill the distributed scan: it yields a
+    null row (camera None) and every other file still parses."""
+    good = build_exif_bytes((200, 150), focal_len_mm=5.0,
+                            sensor_size_mm=(6.0, 4.5))
+    rows = [
+        ("good.tif", bytearray(good)),
+        ("trunc.tif", bytearray(good[:30])),       # truncated mid-IFD
+        ("junk.bin", bytearray(b"NOTATIFF....")),  # not TIFF at all
+    ]
+    df = spark.createDataFrame(rows, "filename string, data binary")
+    got = {r.filename: r for r in exif_scan(df).collect()}
+    assert len(got) == 3
+    assert got["good.tif"].focal_len == pytest.approx(5.0, rel=1e-6)
+    assert got["trunc.tif"].camera is None
+    assert got["junk.bin"].camera is None
+
+
+def test_exif_int_param_exif_ifd_dims_fallback():
+    """Real camera EXIF often omits IFD0 ImageWidth/Length — the EXIF
+    PixelX/YDimension tags must stand in."""
+    import struct as _struct
+
+    from orthority_spark.sources.exif import (
+        TAG_IMAGE_LENGTH, TAG_IMAGE_WIDTH, parse_tiff_tags,
+    )
+
+    data = bytearray(build_exif_bytes((200, 150), focal_len_mm=5.0,
+                                      sensor_size_mm=(6.0, 4.5)))
+    # overwrite the IFD0 width/length tag ids with a harmless unknown id
+    for tag in (TAG_IMAGE_WIDTH, TAG_IMAGE_LENGTH):
+        idx = bytes(data).find(_struct.pack("<HHI", tag, 4, 1))
+        assert idx > 0
+        data[idx:idx + 2] = _struct.pack("<H", 0xEE00 + tag)
+    t = parse_exif(bytes(data))
+    assert t.im_size is None and t.tag_im_size == (200, 150)
+    (p,) = exif_int_param(t).values()
+    assert p["im_size"] == [200, 150]

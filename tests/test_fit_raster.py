@@ -218,12 +218,14 @@ def test_solve_pnp_recovers_fixture_poses():
 
 
 def test_solve_pnp_min_gcps():
+    """The planar-homography init needs 4 points; 3 would give a
+    degenerate DLT nullspace and a silently wrong pose."""
     from orthority_spark.operators.fit import solve_pnp
     from orthority_spark.sources.footprints import fixture_models
 
     m = fixture_models()["img_0000"]
-    with pytest.raises(ValueError, match="three"):
-        solve_pnp(_int_params(m), np.zeros((2, 2)), np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="four"):
+        solve_pnp(_int_params(m), np.zeros((2, 3)), np.zeros((3, 3)))
 
 
 def test_fit_frame_multiple_images_brown():

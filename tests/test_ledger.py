@@ -92,3 +92,28 @@ def test_many_partitions_no_plan_blowup(spark, tmp_path):
         job.completed_keys(), "cell", "left_anti"
     )._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 20_000
+
+
+def test_incremental_run_reads_only_new_partitions(spark, tmp_path):
+    """The ledger derivation re-read is partition-pruned to THIS run's
+    keys (directory-listing candidates), so incremental runs stay O(run),
+    and a widened input only ledgers the new keys."""
+    root = str(tmp_path / "inc")
+    df1 = (
+        spark.range(700)
+        .withColumn("cell", F.col("id") % 7)
+        .withColumn("payload", F.col("id") * 3)
+    )
+    job = LedgerJob(spark, root, part_col="cell")
+    assert job.run(df1, _hash())["partitions_processed"] == 7
+    df2 = (
+        spark.range(1000)
+        .withColumn("cell", F.col("id") % 10)
+        .withColumn("payload", F.col("id") * 3)
+    )
+    r2 = job.run(df2, _hash())
+    assert r2["partitions_processed"] == 3  # only cells 7, 8, 9
+    led = job.metrics().toPandas()
+    assert sorted(led.part_key) == list(range(10))
+    assert led.part_key.is_unique
+    assert sorted(job._disk_keys()) == list(range(10))

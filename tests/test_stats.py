@@ -162,3 +162,20 @@ def test_faithful_equals_reduced_form(spark, band_df):
     for i, b in enumerate(BANDS):
         expected = out[b].to_numpy() + g[i] * (pan_n - sim)
         np.testing.assert_allclose(out[f"sharp_{b}"], expected, atol=1e-6)
+
+
+def test_gs_params_degenerate_inputs(band_df):
+    """Constant pan -> gain falls back to 1; all-anti-correlated pan ->
+    a clear error instead of NaN parameters."""
+    from orthority_spark.operators.stats import gs_params
+
+    arr, means, cov = _pan_ms_stats(band_df)
+    cov0 = cov.copy()
+    cov0[0, 0] = 0.0  # constant pan band
+    p = gs_params(means, cov0, weights=np.array([1.0, 1.0, 1.0]))
+    assert p["gain"] == 1.0
+    cov_neg = cov.copy()
+    cov_neg[0, 1:] = -np.abs(cov_neg[0, 1:])
+    cov_neg[1:, 0] = -np.abs(cov_neg[1:, 0])
+    with pytest.raises(ValueError, match="non-positive"):
+        gs_params(means, cov_neg)
