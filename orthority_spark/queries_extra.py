@@ -133,8 +133,126 @@ FROM cells"""
 
 
 # ---------------------------------------------------------------------------
-# rows-only (Arrow-kernel ops; exact oracles live in pytest)
+# remap (J6/W2/W3) — oracle-gated per-pixel variant + rows-only checksums
 # ---------------------------------------------------------------------------
+
+# ortho grid + source-image parameters shared by the Spark kernel and the
+# SQL oracle (src values are an exact integer-rational formula — no RNG)
+_RM_W, _RM_H = 96, 80
+_RM_SRC_H, _RM_SRC_W = 150, 200
+_RM_TRANSFORM = (2.0, 0.0, 19900.0, 0.0, -2.0, 30080.0)
+
+
+def _rm_src_array() -> np.ndarray:
+    i, j = np.indices((_RM_SRC_H, _RM_SRC_W))
+    return ((i + j) % 2) * 100.0 + ((i * 37 + j * 91) % 1000) / 1000.0
+
+
+def q_remap_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core orthorectification gather, fully oracle-gated: every
+    output pixel of a tiled remap (affine grid -> plane z -> pinhole
+    projection -> bilinear gather -> dilated nodata mask) compared
+    per-pixel against a DuckDB twin. The projection uses an explicit
+    left-to-right op order (np matmul's summation order is not a
+    contract); the tiled halo rendering is what is under test."""
+    from .geom.dem import dem_plane
+    from .operators.remap import remap_tiles, tile_windows
+
+    model = fp.fixture_models()["img_0000"]
+    R, T, K = model.R, model.T, model.K
+    src = _rm_src_array()
+
+    def proj(x, y, z):
+        xr = x - T[0, 0]
+        yr = y - T[1, 0]
+        zr = z - T[2, 0]
+        cx = R[0, 0] * xr + R[1, 0] * yr + R[2, 0] * zr
+        cy = R[0, 1] * xr + R[1, 1] * yr + R[2, 1] * zr
+        cz = R[0, 2] * xr + R[1, 2] * yr + R[2, 2] * zr
+        jj = K[0, 0] * (cx / cz) + K[0, 2]
+        ii = K[1, 1] * (cy / cz) + K[1, 2]
+        return jj, ii
+
+    tiles = tile_windows(spark, _RM_W, _RM_H, tile=64)
+    out = remap_tiles(
+        tiles, model, src, _RM_TRANSFORM, dem_plane, dilate=1, project_fn=proj
+    )
+    w0 = F.least(F.lit(64), F.lit(_RM_W) - F.col("col_off"))
+    return (
+        out.select(
+            "row_off", "col_off", F.posexplode("block").alias("idx", "v")
+        )
+        .select(
+            (F.col("row_off") + F.floor(F.col("idx") / w0)).cast("int").alias("r"),
+            (F.col("col_off") + F.col("idx") % w0).cast("int").alias("c"),
+            "v",
+        )
+        # masked pixels arrive as NULL (pandas->Arrow maps the NaN nodata
+        # to null) — and isnan(NULL) is false, so test both
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+    )
+
+
+def o_remap_pixels() -> str:
+    m = fp.fixture_models()["img_0000"]
+    R, T, K = m.R, m.T, m.K
+    a, b, c0, d, e, f0 = _RM_TRANSFORM
+
+    def src_sql(i: str, j: str) -> str:
+        return (
+            f"(CAST((({i}) + ({j})) % 2 AS DOUBLE) * 100.0 "
+            f"+ CAST((({i}) * 37 + ({j}) * 91) % 1000 AS DOUBLE) / 1000.0)"
+        )
+
+    x = f"({dlit(a)} * (c + 0.5) + {dlit(b)} * (r + 0.5) + {dlit(c0)})"
+    y = f"({dlit(d)} * (c + 0.5) + {dlit(e)} * (r + 0.5) + {dlit(f0)})"
+    z = dlit(825.0)
+    xr = f"({x} - {dlit(T[0, 0])})"
+    yr = f"({y} - {dlit(T[1, 0])})"
+    zr = f"({z} - {dlit(T[2, 0])})"
+    cx = f"({dlit(R[0, 0])} * {xr} + {dlit(R[1, 0])} * {yr} + {dlit(R[2, 0])} * {zr})"
+    cy = f"({dlit(R[0, 1])} * {xr} + {dlit(R[1, 1])} * {yr} + {dlit(R[2, 1])} * {zr})"
+    cz = f"({dlit(R[0, 2])} * {xr} + {dlit(R[1, 2])} * {yr} + {dlit(R[2, 2])} * {zr})"
+    jj = f"({dlit(K[0, 0])} * ({cx} / {cz}) + {dlit(K[0, 2])})"
+    ii = f"({dlit(K[1, 1])} * ({cy} / {cz}) + {dlit(K[1, 2])})"
+    sw, sh = _RM_SRC_W, _RM_SRC_H
+    s00 = src_sql("i0c", "j0c")
+    s01 = src_sql("i0c", "j0c + 1")
+    s10 = src_sql("i0c + 1", "j0c")
+    s11 = src_sql("i0c + 1", "j0c + 1")
+    return f"""
+WITH px AS (
+  SELECT rr.range AS r, cc.range AS c FROM range({_RM_H}) rr, range({_RM_W}) cc
+), prj AS (
+  SELECT r, c, {jj} AS jj, {ii} AS ii FROM px
+), st AS (
+  SELECT r, c, jj, ii,
+         CAST(FLOOR(jj) AS BIGINT) AS j0, CAST(FLOOR(ii) AS BIGINT) AS i0
+  FROM prj
+), bl AS (
+  SELECT r, c,
+         (j0 >= 0 AND i0 >= 0 AND j0 < {sw - 1} AND i0 < {sh - 1}) AS valid,
+         LEAST(GREATEST(j0, 0), {sw - 2}) AS j0c,
+         LEAST(GREATEST(i0, 0), {sh - 2}) AS i0c,
+         jj, ii
+  FROM st
+), vals AS (
+  SELECT r, c, valid,
+         {s00} * (1 - (ii - i0c)) * (1 - (jj - j0c))
+       + {s01} * (1 - (ii - i0c)) * (jj - j0c)
+       + {s10} * (ii - i0c) * (1 - (jj - j0c))
+       + {s11} * (ii - i0c) * (jj - j0c) AS v
+  FROM bl
+), inv AS (
+  SELECT r, c FROM vals WHERE NOT valid
+)
+SELECT CAST(vals.r AS INTEGER) AS r, CAST(vals.c AS INTEGER) AS c, v
+FROM vals
+WHERE NOT EXISTS (
+  SELECT 1 FROM inv
+  WHERE abs(inv.r - vals.r) <= 1 AND abs(inv.c - vals.c) <= 1
+)"""
+
 
 def q_remap_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiled remap (J6) per-tile block sums — deterministic; exact
@@ -516,6 +634,7 @@ QUERIES = {
     "overlap_pages": (q_overlap_pages, o_overlap_pages),
     "dem_tile_assign": (q_dem_tile_assign, o_dem_tile_assign),
     "dem_z_sample": (q_dem_z_sample, o_dem_z_sample),
+    "remap_pixels": (q_remap_pixels, o_remap_pixels),
     "remap_checksums": (q_remap_checksums, None),
     "ray_dem_footprints": (q_ray_dem_footprints, None),
     "image_features": (q_image_features, None),
