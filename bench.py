@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "world_to_pixel",
     "world_to_pixel_jvm",
     "dem_z_sample",
+    "remap_pixels",
     "minhash_signatures",
     "lsh_candidates",
     "jaccard_neardups_lsh",

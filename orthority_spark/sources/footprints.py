@@ -99,8 +99,16 @@ def footprint_polygons(z: float = DEM_OFFSET) -> dict[str, np.ndarray]:
 def footprint_records(res: int = config.GRID_RES) -> dict:
     """Driver-side footprint catalog: polygons, edges, bboxes, covering
     cells, centers, gsd. Tiny (4 images); broadcast to every join."""
-    models = fixture_models()
-    polys = footprint_polygons()
+    return records_for_models(fixture_models(), res=res)
+
+
+def records_for_models(
+    models: dict, res: int = config.GRID_RES, z: float = DEM_OFFSET
+) -> dict:
+    """Catalog records for ARBITRARY frame models — e.g. cameras built
+    from an EXIF scan or a CSV pose file — in the same edges/cells/
+    summary shape every join strategy consumes."""
+    polys = {name: world_footprint(m, z) for name, m in models.items()}
     edges, cells, summary = [], [], []
     for name, poly in polys.items():
         for x1, y1, x2, y2 in polygon_edges(poly):

@@ -216,3 +216,77 @@ def test_exif_int_param_exif_ifd_dims_fallback():
     assert t.im_size is None and t.tag_im_size == (200, 150)
     (p,) = exif_int_param(t).values()
     assert p["im_size"] == [200, 150]
+
+
+def test_exif_to_pip_join_journey(spark):
+    """The full user journey: EXIF blobs -> distributed scan -> interior/
+    exterior params -> frame models -> footprint catalog -> broadcast PIP
+    join against pages — every matched page verified inside its polygon
+    by the numpy ray-caster, and points planted inside/outside land where
+    they must."""
+    from orthority_spark.functions.geotag import with_geotag
+    from orthority_spark.geom.boundary import point_in_polygon
+    from orthority_spark.operators.tile_join import (
+        assign_cells,
+        pip_join_broadcast,
+    )
+    from orthority_spark.sources import footprints as fpm
+    from orthority_spark.sources.exif import exif_scan
+    from orthority_spark.sources.param_io import ParamFileError
+
+    # two cameras over the fixture block, poses carried ONLY in EXIF tags
+    blobs = [
+        ("cam_a.tif", (-33.7005, 24.2000, 1100.0), (0.0, 0.0, 0.0)),
+        ("cam_b.tif", (-33.6990, 24.2020, 1100.0), (2.0, -3.0, 40.0)),
+    ]
+    df = spark.createDataFrame(
+        [
+            (fn, bytearray(build_exif_bytes(
+                im_size=(200, 150), focal_len_mm=5.0,
+                sensor_size_mm=(6.0, 4.5), lla=lla, rpy_deg=rpy)))
+            for fn, lla, rpy in blobs
+        ],
+        "filename string, data binary",
+    )
+    models = {}
+    for fn, blob in [(r[0], r[1]) for r in df.collect()]:
+        t = parse_exif(bytes(blob))
+        (ip,) = exif_int_param(t).values()
+        ep = exif_ext_param(t)
+        models[fn] = FrameModel(
+            cam_type=ip["type"], im_size=tuple(ip["im_size"]),
+            focal_len=ip["focal_len"], sensor_size=tuple(ip["sensor_size"]),
+            dist={}, xyz=ep["xyz"], opk=ep["opk"],
+        )
+    # the distributed scan agrees with the driver-side parse
+    scanned = {r.filename: r for r in exif_scan(df).collect()}
+    assert scanned["cam_a.tif"].alt == pytest.approx(1100.0, abs=1e-6)
+
+    recs = fpm.records_for_models(models)
+    polys = recs["polygons"]
+    # plant pages: centers of both footprints (inside) + one far point
+    rows = []
+    for k, (fn, poly) in enumerate(sorted(polys.items())):
+        lon = poly[0].mean() / config.M_PER_DEG + config.LON0
+        lat = poly[1].mean() / config.M_PER_DEG + config.LAT0
+        rows.append((f"in_{fn}", f"x geo:{lat:.6f},{lon:.6f} y"))
+    rows.append(("out_far", "x geo:-33.200000,24.900000 y"))
+    pages = assign_cells(with_geotag(
+        spark.createDataFrame(rows, "url string, text string")
+    ))
+    got = pip_join_broadcast(
+        pages,
+        fpm.footprint_catalog_flat_df(spark, recs),
+        fpm.footprint_edges_df(spark, recs),
+    ).select("url", "filename").collect()
+    matched = {(r.url, r.filename) for r in got}
+    assert ("out_far", "cam_a.tif") not in matched
+    for fn in polys:
+        assert (f"in_{fn}", fn) in matched
+    # every match verified by the numpy ray-caster
+    pc = {r.url: (r.px, r.py) for r in pages.collect()}
+    for url, fn in matched:
+        px, py = pc[url]
+        assert point_in_polygon(
+            np.array([px]), np.array([py]), polys[fn]
+        )[0], (url, fn)
