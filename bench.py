@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "lsh_candidates",
     "jaccard_neardups_lsh",
+    "corpus_clean",
     "simhash",
     "ann_topk",
     "embedding_neardups_bucketed",

@@ -330,6 +330,83 @@ FROM common JOIN counts na ON doc_a = na.doc_id
 WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_TAU}"""
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline as ONE declarative
+    plan: exact dedup (keep min doc_id per md5) -> LSH near-dup removal
+    (drop the higher doc_id of every verified Jaccard >= tau pair; the
+    deterministic keep-canonical rule, not full clustering) -> stopword
+    quality gate -> per-language survivor counts + exact token sums."""
+    d = _docs(spark, sf_dir)
+    # exact dedup winners
+    keep = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # near-dup losers: doc_b of every verified pair (q_jaccard_neardups_lsh
+    # fragments, restricted to LSH candidates)
+    losers = q_jaccard_neardups_lsh(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    survivors = keep.join(losers, "doc_id", "left_anti")
+    # quality gate: >= 2 stopwords AND >= 20 tokens
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    stats = toks.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.col("tok").isin(STOPWORDS).cast("long")).alias("n_stop"),
+    )
+    clean = stats.join(survivors, "doc_id", "left_semi").where(
+        (F.col("n_stop") >= 2) & (F.col("n_tok") >= 20)
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+
+
+def o_corpus_clean() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""{_band_cte()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.band_sig = c.band_sig AND a.doc_id < c.doc_id
+), counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT cands.doc_a, cands.doc_b, COUNT(*) AS common
+  FROM cands
+  JOIN shingles sa ON sa.doc_id = cands.doc_a
+  JOIN shingles sb ON sb.doc_id = cands.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common JOIN counts na ON doc_a = na.doc_id
+              JOIN counts nb ON doc_b = nb.doc_id
+  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= {JACCARD_TAU}
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), survivors AS (
+  SELECT doc_id FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+), toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), stats AS (
+  SELECT doc_id, lang, COUNT(*) AS n_tok,
+         SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM stats
+WHERE doc_id IN (SELECT doc_id FROM survivors)
+  AND n_stop >= 2 AND n_tok >= 20
+GROUP BY lang"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from unigram token hashes.
 
@@ -486,6 +563,7 @@ QUERIES = {
     "lsh_candidates": (q_lsh_candidates, o_lsh_candidates),
     "jaccard_neardups": (q_jaccard_neardups, o_jaccard_neardups),
     "jaccard_neardups_lsh": (q_jaccard_neardups_lsh, o_jaccard_neardups_lsh),
+    "corpus_clean": (q_corpus_clean, o_corpus_clean),
     "simhash": (q_simhash, o_simhash),
     "text_stats": (q_text_stats, o_text_stats),
     "quality_score": (q_quality_score, o_quality_score),
