@@ -254,6 +254,122 @@ WHERE NOT EXISTS (
 )"""
 
 
+def q_undistort_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undistort image path (S4/P12: cv2.initUndistortRectifyMap
+    analogue) oracle-gated per pixel: for every output pixel, normalise
+    through K, apply the CLOSED-FORM brown forward distortion, re-project
+    through K and bilinear-gather the source — the same tiled remap
+    machinery, with the mapping in pixel space instead of world space."""
+    from .operators.remap import remap_tiles, tile_windows
+
+    m = fp.fixture_models()["img_0001"]  # brown
+    K, dist = m.K, m.dist
+    src = _rm_src_array()
+    w, h = m.im_size
+
+    def proj(x, y, z):
+        # x, y ARE output pixel coords (identity 'world' transform below)
+        xu = (x - K[0, 2]) / K[0, 0]
+        yu = (y - K[1, 2]) / K[1, 1]
+        x2 = xu * xu
+        y2 = yu * yu
+        xyp = xu * yu
+        r2 = x2 + y2
+        radial = 1.0 + r2 * (dist["k1"] + r2 * (dist["k2"] + r2 * dist["k3"]))
+        xd = xu * radial + 2.0 * dist["p1"] * xyp + dist["p2"] * (r2 + 2.0 * x2)
+        yd = yu * radial + dist["p1"] * (r2 + 2.0 * y2) + 2.0 * dist["p2"] * xyp
+        return K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]
+
+    # identity pixel 'world': x = 1*(c+0.5) + 0*(r+0.5) - 0.5 = c exactly
+    transform = (1.0, 0.0, -0.5, 0.0, 1.0, -0.5)
+    tiles = tile_windows(spark, w, h, tile=64)
+    out = remap_tiles(
+        tiles, m, src, transform, lambda x, y: np.zeros_like(x),
+        dilate=1, project_fn=proj,
+    )
+    w0 = F.least(F.lit(64), F.lit(w) - F.col("col_off"))
+    return (
+        out.select("row_off", "col_off", F.posexplode("block").alias("idx", "v"))
+        .select(
+            (F.col("row_off") + F.floor(F.col("idx") / w0)).cast("int").alias("r"),
+            (F.col("col_off") + F.col("idx") % w0).cast("int").alias("c"),
+            "v",
+        )
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+    )
+
+
+def o_undistort_pixels() -> str:
+    m = fp.fixture_models()["img_0001"]
+    K, dist = m.K, m.dist
+    w, h = m.im_size
+    sw, sh = _RM_SRC_W, _RM_SRC_H
+
+    def src_sql(i: str, j: str) -> str:
+        return (
+            f"(CAST((({i}) + ({j})) % 2 AS DOUBLE) * 100.0 "
+            f"+ CAST((({i}) * 37 + ({j}) * 91) % 1000 AS DOUBLE) / 1000.0)"
+        )
+
+    x = f"(1.0 * (c + 0.5) + 0.0 * (r + 0.5) + {dlit(-0.5)})"
+    y = f"(0.0 * (c + 0.5) + 1.0 * (r + 0.5) + {dlit(-0.5)})"
+    xu = f"(({x} - {dlit(K[0, 2])}) / {dlit(K[0, 0])})"
+    yu = f"(({y} - {dlit(K[1, 2])}) / {dlit(K[1, 1])})"
+    k1, k2, k3 = dlit(dist["k1"]), dlit(dist["k2"]), dlit(dist["k3"])
+    p1, p2 = dlit(dist["p1"]), dlit(dist["p2"])
+    s00 = src_sql("i0c", "j0c")
+    s01 = src_sql("i0c", "j0c + 1")
+    s10 = src_sql("i0c + 1", "j0c")
+    s11 = src_sql("i0c + 1", "j0c + 1")
+    return f"""
+WITH px AS (
+  SELECT rr.range AS r, cc.range AS c FROM range({h}) rr, range({w}) cc
+), norm AS (
+  SELECT r, c, {xu} AS xu, {yu} AS yu FROM px
+), sq AS (
+  SELECT r, c, xu, yu, xu * xu AS x2, yu * yu AS y2, xu * yu AS xyp,
+         xu * xu + yu * yu AS r2
+  FROM norm
+), dst AS (
+  SELECT r, c,
+    xu * (1.0 + r2 * ({k1} + r2 * ({k2} + r2 * {k3})))
+      + 2.0 * {p1} * xyp + {p2} * (r2 + 2.0 * x2) AS xd,
+    yu * (1.0 + r2 * ({k1} + r2 * ({k2} + r2 * {k3})))
+      + {p1} * (r2 + 2.0 * y2) + 2.0 * {p2} * xyp AS yd
+  FROM sq
+), prj AS (
+  SELECT r, c, {dlit(K[0, 0])} * xd + {dlit(K[0, 2])} AS jj,
+         {dlit(K[1, 1])} * yd + {dlit(K[1, 2])} AS ii
+  FROM dst
+), st AS (
+  SELECT r, c, jj, ii,
+         CAST(FLOOR(jj) AS BIGINT) AS j0, CAST(FLOOR(ii) AS BIGINT) AS i0
+  FROM prj
+), bl AS (
+  SELECT r, c,
+         (j0 >= 0 AND i0 >= 0 AND j0 < {sw - 1} AND i0 < {sh - 1}) AS valid,
+         LEAST(GREATEST(j0, 0), {sw - 2}) AS j0c,
+         LEAST(GREATEST(i0, 0), {sh - 2}) AS i0c,
+         jj, ii
+  FROM st
+), vals AS (
+  SELECT r, c, valid,
+         {s00} * (1 - (ii - i0c)) * (1 - (jj - j0c))
+       + {s01} * (1 - (ii - i0c)) * (jj - j0c)
+       + {s10} * (ii - i0c) * (1 - (jj - j0c))
+       + {s11} * (ii - i0c) * (jj - j0c) AS v
+  FROM bl
+), inv AS (
+  SELECT r, c FROM vals WHERE NOT valid
+)
+SELECT CAST(vals.r AS INTEGER) AS r, CAST(vals.c AS INTEGER) AS c, v
+FROM vals
+WHERE NOT EXISTS (
+  SELECT 1 FROM inv
+  WHERE abs(inv.r - vals.r) <= 1 AND abs(inv.c - vals.c) <= 1
+)"""
+
+
 def q_remap_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiled remap (J6) per-tile block sums — deterministic; exact
     whole-image parity is pytest-asserted (tests/test_remap.py)."""
@@ -635,6 +751,7 @@ QUERIES = {
     "dem_tile_assign": (q_dem_tile_assign, o_dem_tile_assign),
     "dem_z_sample": (q_dem_z_sample, o_dem_z_sample),
     "remap_pixels": (q_remap_pixels, o_remap_pixels),
+    "undistort_pixels": (q_undistort_pixels, o_undistort_pixels),
     "remap_checksums": (q_remap_checksums, None),
     "ray_dem_footprints": (q_ray_dem_footprints, None),
     "image_features": (q_image_features, None),
