@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "world_to_pixel_jvm",
     "dem_z_sample",
     "remap_pixels",
+    "undistort_pixels",
     "minhash_signatures",
     "lsh_candidates",
     "jaccard_neardups_lsh",
