@@ -315,6 +315,7 @@ def test_fit_exterior_per_image_spark(spark):
     ("pinhole", {}),
     ("opencv", dict(k1=-0.08, k2=0.03, p1=0.002, p2=-0.001,
                     k3=0.0, k4=0.0, k5=0.0, k6=0.0)),
+    ("fisheye", dict(k1=-0.05, k2=0.01, k3=0.0, k4=0.0)),
 ])
 def test_fit_frame_multiple_images_other_models(cam_type, dist):
     """The multi-image interior fit meets the reference contract for the
