@@ -361,6 +361,11 @@ def read_im_rpc_param(file) -> dict:
 # ---------------------------------------------------------------------------
 
 def _rat(v: float, den: int = 1_000_000) -> tuple[int, int]:
+    """Unsigned TIFF RATIONAL; the denominator backs off so the numerator
+    fits 32 bits (a 9000 m altitude at 1e-6 precision would overflow)."""
+    v = float(v)
+    while den > 1 and v * den > 4_294_967_295:
+        den //= 10
     return int(round(v * den)), den
 
 

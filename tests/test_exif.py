@@ -290,3 +290,27 @@ def test_exif_to_pip_join_journey(spark):
         assert point_in_polygon(
             np.array([px]), np.array([py]), polys[fn]
         )[0], (url, fn)
+
+
+def test_exif_roundtrip_property():
+    """Write->parse round trip holds for ANY lat/lon/alt/rpy (hypothesis
+    over the coordinate space; rational-tag encoding error bounded)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.floats(min_value=-89.9, max_value=89.9),
+        st.floats(min_value=-179.9, max_value=179.9),
+        st.floats(min_value=-400.0, max_value=9000.0),
+        st.floats(min_value=-180.0, max_value=180.0),
+        st.floats(min_value=-120.0, max_value=60.0),
+        st.floats(min_value=-180.0, max_value=180.0),
+    )
+    def check(lat, lon, alt, roll, pitch, yaw):
+        t = parse_exif(build_exif_bytes(
+            im_size=(200, 150), lla=(lat, lon, alt),
+            rpy_deg=(roll, pitch, yaw)))
+        assert t.lla == pytest.approx((lat, lon, alt), abs=1e-5)
+        assert t.rpy == pytest.approx((roll, pitch, yaw), abs=1e-9)
+
+    check()
