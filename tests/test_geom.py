@@ -171,3 +171,29 @@ def test_horizon_fov_predicate():
                         sensor_size=(6.0, 4.5), xyz=(0, 0, 1000),
                         opk=(np.radians(90), 0.0, 0.0), dist={})
     assert tilted.horizon_fov() is True
+
+
+def test_ray_dem_first_intersection_semantics():
+    """A wavy surface crossed obliquely: the march must return the FIRST
+    (highest-z) crossing per ray — verified against a dense brute-force
+    march (the reference's first-sample-below rule, camera.py:158-164)."""
+    model = FrameModel(cam_type="pinhole", im_size=(200, 150), focal_len=5.0,
+                       sensor_size=(6.0, 4.5), xyz=(0.0, 0.0, 1500.0),
+                       opk=(np.radians(35.0), 0.0, 0.0), dist={})
+
+    def wavy(x, y):
+        return 800.0 + 40.0 * np.sin(np.asarray(y) / 40.0)
+
+    ji = np.vstack([np.linspace(20, 180, 9), np.linspace(15, 135, 9)])
+    hit = ray_dem_intersect(model, ji, wavy, 700.0, 900.0, step=1.0)
+    for k in range(ji.shape[1]):
+        zs = np.linspace(900.0, 700.0, 8001)
+        pts = model.pixel_to_world_z(ji[:, k:k + 1], zs)
+        below = pts[2] <= wavy(pts[0], pts[1])
+        assert below.any(), "fixture must intersect"
+        first = int(np.argmax(below))
+        # march + bisection must land inside the brute bracket
+        lo, hi = zs[first], zs[max(first - 1, 0)]
+        assert lo - 1e-6 <= hit[2, k] <= hi + 1e-6, (k, hit[2, k], lo, hi)
+        # and on the surface
+        assert abs(hit[2, k] - wavy(hit[0, k], hit[1, k])) < 1e-3
