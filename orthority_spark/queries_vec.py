@@ -250,6 +250,108 @@ proj AS (
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_TAU}"""
 
 
+def _fixed_centroids() -> "np.ndarray":
+    """8 deterministic integer centroids in the quantised (1e6) domain —
+    data-independent, so the IVF SEARCH path is oracle-checkable exactly
+    (scores are integer-valued doubles below 2^53)."""
+    import numpy as np
+
+    k, i = np.meshgrid(np.arange(8), np.arange(64), indexing="ij")
+    return (((k * 31 + i * 17) % 7) - 3).astype("float64") * 1e6
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k SEARCH, oracle-gated: corpus vectors live in their
+    nearest fixed centroid's bucket, queries probe their top-2 buckets,
+    candidates come from the bucket equi-join (never a cross product),
+    exact integer-cosine ranks the survivors."""
+    from .operators.ann import assign_buckets
+
+    cents = _fixed_centroids()
+    qz = _quantized(spark, sf_dir)
+    corpus = assign_buckets(qz, cents, nprobe=1).alias("b")
+    queries = assign_buckets(
+        qz.where(F.col("vec_id") < N_QUERIES), cents, nprobe=2
+    ).alias("a")
+    cand = corpus.join(F.broadcast(queries), "bucket").where(
+        F.expr("a.vec_id != b.vec_id")
+    )
+    scored = (
+        cand.withColumn("dot", F.expr(_DOT))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "neighbor_id", "cosine")
+    )
+
+
+def o_ann_ivf() -> str:
+    import numpy as np
+
+    cents = _fixed_centroids()
+    # per-bucket score = SUM(v * c[i]) + bias via an unnested centroid table
+    cent_vals = ", ".join(
+        f"({k}, {i}, {cents[k, i]!r})"
+        for k in range(8) for i in range(64) if cents[k, i] != 0.0
+    )
+    biases = ", ".join(
+        f"({k}, {-0.5 * float(np.dot(c, c))!r})" for k, c in enumerate(cents)
+    )
+    return f"""
+WITH {_DUCK_UNNEST},
+cents(bucket, i, cv) AS (VALUES {cent_vals}),
+bias(bucket, b) AS (VALUES {biases}),
+scores AS (
+  SELECT u.vec_id, c.bucket, SUM(u.v * c.cv) + ANY_VALUE(bias.b) AS score
+  FROM u JOIN cents c ON u.i = c.i + 1
+  JOIN bias ON bias.bucket = c.bucket
+  GROUP BY u.vec_id, c.bucket
+), ranked_b AS (
+  SELECT vec_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, bucket DESC) AS brank
+  FROM scores
+), corpus AS (SELECT vec_id, bucket FROM ranked_b WHERE brank = 1),
+qry AS (
+  SELECT vec_id, bucket FROM ranked_b
+  WHERE brank <= 2 AND vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qry q JOIN corpus c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+), dots AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(a.v * b.v) AS dot
+  FROM cand JOIN u a ON a.vec_id = cand.query_id
+            JOIN u b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+  FROM dots JOIN norms na ON query_id = na.vec_id
+            JOIN norms nb ON neighbor_id = nb.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def q_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label quantised centroid sums (IVF coarse-quantiser training
     analogue — exact integer partial sums, order-independent)."""
@@ -282,4 +384,5 @@ QUERIES = {
         o_embedding_neardups_bucketed,
     ),
     "label_centroid_norms": (q_label_centroid_norms, o_label_centroid_norms),
+    "ann_ivf": (q_ann_ivf, o_ann_ivf),
 }
