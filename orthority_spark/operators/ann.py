@@ -122,8 +122,10 @@ def train_centroids_kmeans(
         score_exprs = []
         for c in new:
             bias = -0.5 * float(np.dot(c, c))
+            # float() pins plain-float repr (numpy>=2 reprs scalars as
+            # 'np.float64(x)', which is not a SQL literal)
             terms = " + ".join(
-                f"qe[{i}] * {c[i]!r}" for i in range(len(c)) if c[i] != 0.0
+                f"qe[{i}] * {float(c[i])!r}" for i in range(len(c)) if c[i] != 0.0
             )
             score_exprs.append(f"(({terms or '0.0'}) + {bias!r})")
         best = f"greatest({', '.join(score_exprs)})"
@@ -142,7 +144,9 @@ def assign_buckets(qz: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> Dat
     exprs = []
     for ci, c in enumerate(centroids):
         bias = -0.5 * float(np.dot(c, c))
-        terms = " + ".join(f"qe[{i}] * {c[i]!r}" for i in range(len(c)) if c[i] != 0.0)
+        terms = " + ".join(
+            f"qe[{i}] * {float(c[i])!r}" for i in range(len(c)) if c[i] != 0.0
+        )
         exprs.append(f"struct(({terms or '0.0'}) + {bias!r} AS score, {ci} AS bucket)")
     top = (
         f"slice(reverse(array_sort(array({', '.join(exprs)}))), 1, {nprobe})"

@@ -122,16 +122,35 @@ def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
     d = dem.where(F.col("band") == band)
     one = d.select("transform").first()
     a, _, c, _, e, f0 = one.transform
-    tile = d.select(F.max("height").alias("h")).first().h
+    ext = d.agg(
+        F.max("height").alias("h"),
+        F.max(F.col("col_off") + F.col("width")).alias("nc"),
+        F.max(F.col("row_off") + F.col("height")).alias("nr"),
+    ).first()
+    tile, ncols, nrows = int(ext.h), int(ext.nc), int(ext.nr)
     col = F.floor((F.col("px") - F.lit(c)) / F.lit(a)).cast("long")
     row = F.floor((F.col("py") - F.lit(f0)) / F.lit(e)).cast("long")
-    pts = points.withColumn(
-        "dem_tile_id",
-        F.concat_ws(
-            ":",
-            (row - row % F.lit(tile)).cast("string"),
-            (col - col % F.lit(tile)).cast("string"),
-        ),
+    # drop points outside the DEM grid BEFORE deriving the tile key:
+    # Spark's % keeps the dividend sign, so a point at gcol in [-tile, -1]
+    # would otherwise alias to tile 0 and emit a clamped-border z (the
+    # reference errors on outside-DEM sources, ortho.py:120; the oracle
+    # drops them — same contract here, as a scan-stage pushdown filter)
+    pts = (
+        points.withColumn("_gcol", col)
+        .withColumn("_grow", row)
+        .where(
+            (F.col("_gcol") >= 0) & (F.col("_gcol") < ncols)
+            & (F.col("_grow") >= 0) & (F.col("_grow") < nrows)
+        )
+        .withColumn(
+            "dem_tile_id",
+            F.concat_ws(
+                ":",
+                (F.col("_grow") - F.col("_grow") % F.lit(tile)).cast("string"),
+                (F.col("_gcol") - F.col("_gcol") % F.lit(tile)).cast("string"),
+            ),
+        )
+        .drop("_gcol", "_grow")
     )
     # cogroup points-with-tile against the DEM on the tile key: the 16 KB
     # block crosses the shuffle ONCE PER TILE (a tile join would replicate

@@ -148,19 +148,11 @@ def _rm_src_array() -> np.ndarray:
     return ((i + j) % 2) * 100.0 + ((i * 37 + j * 91) % 1000) / 1000.0
 
 
-def q_remap_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The core orthorectification gather, fully oracle-gated: every
-    output pixel of a tiled remap (affine grid -> plane z -> pinhole
-    projection -> bilinear gather -> dilated nodata mask) compared
-    per-pixel against a DuckDB twin. The projection uses an explicit
-    left-to-right op order (np matmul's summation order is not a
-    contract); the tiled halo rendering is what is under test."""
-    from .geom.dem import dem_plane
-    from .operators.remap import remap_tiles, tile_windows
-
+def _rm_proj_fn():
+    """(model, proj) with an explicit left-to-right float op order the SQL
+    oracle mirrors (np matmul's summation order is not a contract)."""
     model = fp.fixture_models()["img_0000"]
     R, T, K = model.R, model.T, model.K
-    src = _rm_src_array()
 
     def proj(x, y, z):
         xr = x - T[0, 0]
@@ -173,37 +165,23 @@ def q_remap_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ii = K[1, 1] * (cy / cz) + K[1, 2]
         return jj, ii
 
-    tiles = tile_windows(spark, _RM_W, _RM_H, tile=64)
-    out = remap_tiles(
-        tiles, model, src, _RM_TRANSFORM, dem_plane, dilate=1, project_fn=proj
-    )
-    w0 = F.least(F.lit(64), F.lit(_RM_W) - F.col("col_off"))
+    return model, proj
+
+
+def _rm_src_sql(i: str, j: str) -> str:
     return (
-        out.select(
-            "row_off", "col_off", F.posexplode("block").alias("idx", "v")
-        )
-        .select(
-            (F.col("row_off") + F.floor(F.col("idx") / w0)).cast("int").alias("r"),
-            (F.col("col_off") + F.col("idx") % w0).cast("int").alias("c"),
-            "v",
-        )
-        # masked pixels arrive as NULL (pandas->Arrow maps the NaN nodata
-        # to null) — and isnan(NULL) is false, so test both
-        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+        f"(CAST((({i}) + ({j})) % 2 AS DOUBLE) * 100.0 "
+        f"+ CAST((({i}) * 37 + ({j}) * 91) % 1000 AS DOUBLE) / 1000.0)"
     )
 
 
-def o_remap_pixels() -> str:
+def _rm_prj_cte() -> str:
+    """WITH-prefix CTEs projecting every ortho output pixel to source
+    (jj, ii) + floor cell (j0, i0) — shared by the bilinear and cubic
+    remap oracles; mirrors ``_rm_proj_fn`` term-for-term."""
     m = fp.fixture_models()["img_0000"]
     R, T, K = m.R, m.T, m.K
     a, b, c0, d, e, f0 = _RM_TRANSFORM
-
-    def src_sql(i: str, j: str) -> str:
-        return (
-            f"(CAST((({i}) + ({j})) % 2 AS DOUBLE) * 100.0 "
-            f"+ CAST((({i}) * 37 + ({j}) * 91) % 1000 AS DOUBLE) / 1000.0)"
-        )
-
     x = f"({dlit(a)} * (c + 0.5) + {dlit(b)} * (r + 0.5) + {dlit(c0)})"
     y = f"({dlit(d)} * (c + 0.5) + {dlit(e)} * (r + 0.5) + {dlit(f0)})"
     z = dlit(825.0)
@@ -215,11 +193,6 @@ def o_remap_pixels() -> str:
     cz = f"({dlit(R[0, 2])} * {xr} + {dlit(R[1, 2])} * {yr} + {dlit(R[2, 2])} * {zr})"
     jj = f"({dlit(K[0, 0])} * ({cx} / {cz}) + {dlit(K[0, 2])})"
     ii = f"({dlit(K[1, 1])} * ({cy} / {cz}) + {dlit(K[1, 2])})"
-    sw, sh = _RM_SRC_W, _RM_SRC_H
-    s00 = src_sql("i0c", "j0c")
-    s01 = src_sql("i0c", "j0c + 1")
-    s10 = src_sql("i0c + 1", "j0c")
-    s11 = src_sql("i0c + 1", "j0c + 1")
     return f"""
 WITH px AS (
   SELECT rr.range AS r, cc.range AS c FROM range({_RM_H}) rr, range({_RM_W}) cc
@@ -229,7 +202,50 @@ WITH px AS (
   SELECT r, c, jj, ii,
          CAST(FLOOR(jj) AS BIGINT) AS j0, CAST(FLOOR(ii) AS BIGINT) AS i0
   FROM prj
-), bl AS (
+)"""
+
+
+def _rm_pixels_df(out: DataFrame) -> DataFrame:
+    w0 = F.least(F.lit(64), F.lit(_RM_W) - F.col("col_off"))
+    return (
+        out.select("row_off", "col_off", F.posexplode("block").alias("idx", "v"))
+        .select(
+            (F.col("row_off") + F.floor(F.col("idx") / w0)).cast("int").alias("r"),
+            (F.col("col_off") + F.col("idx") % w0).cast("int").alias("c"),
+            "v",
+        )
+        # masked pixels arrive as NULL (pandas->Arrow maps the NaN nodata
+        # to null) — and isnan(NULL) is false, so test both
+        .where(F.col("v").isNotNull() & ~F.isnan("v"))
+    )
+
+
+def q_remap_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core orthorectification gather, fully oracle-gated: every
+    output pixel of a tiled remap (affine grid -> plane z -> pinhole
+    projection -> bilinear gather -> dilated nodata mask) compared
+    per-pixel against a DuckDB twin. The tiled halo rendering is what is
+    under test."""
+    from .geom.dem import dem_plane
+    from .operators.remap import remap_tiles, tile_windows
+
+    model, proj = _rm_proj_fn()
+    src = _rm_src_array()
+    tiles = tile_windows(spark, _RM_W, _RM_H, tile=64)
+    out = remap_tiles(
+        tiles, model, src, _RM_TRANSFORM, dem_plane, dilate=1, project_fn=proj
+    )
+    return _rm_pixels_df(out)
+
+
+def o_remap_pixels() -> str:
+    sw, sh = _RM_SRC_W, _RM_SRC_H
+    src_sql = _rm_src_sql
+    s00 = src_sql("i0c", "j0c")
+    s01 = src_sql("i0c", "j0c + 1")
+    s10 = src_sql("i0c + 1", "j0c")
+    s11 = src_sql("i0c + 1", "j0c + 1")
+    return f"""{_rm_prj_cte()}, bl AS (
   SELECT r, c,
          (j0 >= 0 AND i0 >= 0 AND j0 < {sw - 1} AND i0 < {sh - 1}) AS valid,
          LEAST(GREATEST(j0, 0), {sw - 2}) AS j0c,
@@ -243,6 +259,82 @@ WITH px AS (
        + {s10} * (ii - i0c) * (1 - (jj - j0c))
        + {s11} * (ii - i0c) * (jj - j0c) AS v
   FROM bl
+), inv AS (
+  SELECT r, c FROM vals WHERE NOT valid
+)
+SELECT CAST(vals.r AS INTEGER) AS r, CAST(vals.c AS INTEGER) AS c, v
+FROM vals
+WHERE NOT EXISTS (
+  SELECT 1 FROM inv
+  WHERE abs(inv.r - vals.r) <= 1 AND abs(inv.c - vals.c) <= 1
+)"""
+
+
+def q_remap_pixels_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remap gather with the reference's DEFAULT interpolation —
+    cubic (/root/reference/orthority/camera.py:108,250 ``interp: Interp =
+    Interp.cubic``; cv2 INTER_CUBIC, Keys A=-0.75) — oracle-gated per
+    output pixel exactly like the bilinear twin. The 4x4 stencil reads
+    the broadcast source image, so tiling needs no wider halo; the
+    dilated nodata mask still uses the 1-px apron."""
+    from .geom.dem import dem_plane
+    from .operators.remap import remap_tiles, tile_windows
+
+    model, proj = _rm_proj_fn()
+    src = _rm_src_array()
+    tiles = tile_windows(spark, _RM_W, _RM_H, tile=64)
+    out = remap_tiles(
+        tiles, model, src, _RM_TRANSFORM, dem_plane,
+        interp="cubic", dilate=1, project_fn=proj,
+    )
+    return _rm_pixels_df(out)
+
+
+def o_remap_pixels_cubic() -> str:
+    sw, sh = _RM_SRC_W, _RM_SRC_H
+    A, A2, A3 = dlit(-0.75), dlit(1.25), dlit(2.25)
+
+    def w_sql(f: str) -> list[str]:
+        # mirrors operators.remap._cubic_weights term-for-term
+        fp1 = f"(({f}) + 1.0)"
+        g = f"(1.0 - ({f}))"
+        gp1 = f"(2.0 - ({f}))"
+        return [
+            f"({A} * ((({fp1} - 5.0) * {fp1} + 8.0) * {fp1} - 4.0))",
+            f"(({A2} * ({f}) - {A3}) * ({f}) * ({f}) + 1.0)",
+            f"(({A2} * ({g}) - {A3}) * ({g}) * ({g}) + 1.0)",
+            f"({A} * ((({gp1} - 5.0) * {gp1} + 8.0) * {gp1} - 4.0))",
+        ]
+
+    row_terms = []
+    for k in range(4):
+        i = f"i0c + {k - 1}" if k != 1 else "i0c"
+        taps = " + ".join(
+            f"wj{t} * {_rm_src_sql(i, f'j0c + {t - 1}' if t != 1 else 'j0c')}"
+            for t in range(4)
+        )
+        row_terms.append(f"wi{k} * ({taps})")
+    v = "\n       + ".join(row_terms)
+    wj = w_sql("fj")
+    wi = w_sql("fi")
+    return f"""{_rm_prj_cte()}, bl AS (
+  SELECT r, c,
+         (j0 >= 1 AND i0 >= 1 AND j0 < {sw - 2} AND i0 < {sh - 2}) AS valid,
+         LEAST(GREATEST(j0, 1), {sw - 3}) AS j0c,
+         LEAST(GREATEST(i0, 1), {sh - 3}) AS i0c,
+         jj, ii
+  FROM st
+), fr AS (
+  SELECT r, c, valid, j0c, i0c, jj - j0c AS fj, ii - i0c AS fi FROM bl
+), wt AS (
+  SELECT r, c, valid, j0c, i0c,
+         {wj[0]} AS wj0, {wj[1]} AS wj1, {wj[2]} AS wj2, {wj[3]} AS wj3,
+         {wi[0]} AS wi0, {wi[1]} AS wi1, {wi[2]} AS wi2, {wi[3]} AS wi3
+  FROM fr
+), vals AS (
+  SELECT r, c, valid,
+         {v} AS v
+  FROM wt
 ), inv AS (
   SELECT r, c FROM vals WHERE NOT valid
 )
@@ -751,6 +843,7 @@ QUERIES = {
     "dem_tile_assign": (q_dem_tile_assign, o_dem_tile_assign),
     "dem_z_sample": (q_dem_z_sample, o_dem_z_sample),
     "remap_pixels": (q_remap_pixels, o_remap_pixels),
+    "remap_pixels_cubic": (q_remap_pixels_cubic, o_remap_pixels_cubic),
     "undistort_pixels": (q_undistort_pixels, o_undistort_pixels),
     "remap_checksums": (q_remap_checksums, None),
     "ray_dem_footprints": (q_ray_dem_footprints, None),

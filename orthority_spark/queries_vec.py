@@ -305,7 +305,7 @@ def o_ann_ivf() -> str:
     cents = _fixed_centroids()
     # per-bucket score = SUM(v * c[i]) + bias via an unnested centroid table
     cent_vals = ", ".join(
-        f"({k}, {i}, {cents[k, i]!r})"
+        f"({k}, {i}, {float(cents[k, i])!r})"
         for k in range(8) for i in range(64) if cents[k, i] != 0.0
     )
     biases = ", ".join(

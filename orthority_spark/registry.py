@@ -3,6 +3,14 @@
 Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame,
 oracle_builder() -> SQL str | None). ``None`` oracle => driver records a
 rows-only check (genuinely non-SQL-expressible ops).
+
+The driver records at most ``DRIVER_CAP`` queries in registration order,
+so the exposed surface is an explicit ``PRIORITY`` list: every operator
+family's representative gate sits inside the cap. Redundant twins (an
+alternate join strategy, an all-pairs verifier whose bucketed scale path
+is already gated, a cogroup comparator kept for documentation) live in
+``DEMOTED``: they stay under the same oracle parity in
+tests/test_oracle_parity.py but are not driver-recorded.
 """
 
 from __future__ import annotations
@@ -11,8 +19,84 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+DRIVER_CAP = 50
 
-def all_queries() -> dict:
+#: Driver-recorded gates, in record order. Keep len <= DRIVER_CAP.
+PRIORITY = [
+    # -- geometry / camera core (SURVEY §2.2, §2.3, §2.4) --
+    "geotag_extract",
+    "cell_assign",
+    "tile_checksums",
+    "pip_join",
+    "pip_join_salted",
+    "rpc_pip_join",
+    "knn",
+    "knn_kring",
+    "rollup_pyramid",
+    "world_to_pixel_jvm",
+    "footprint_bounds",
+    "dem_tile_assign",
+    "dem_z_sample",
+    "remap_pixels",
+    "remap_pixels_cubic",
+    "undistort_pixels",
+    "ray_dem_footprints",
+    "fit_exterior",
+    "pan_sharpen_stats",
+    "pan_sharpen_rows",
+    # -- text / dedup pipeline --
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidates",
+    "jaccard_neardups_lsh",
+    "corpus_clean",
+    "simhash",
+    "text_stats",
+    "quality_score",
+    "token_count_bpe",
+    "lang_profile",
+    "doc_fingerprint",
+    # -- embeddings / ANN --
+    "ann_topk",
+    "ann_ivf",
+    "embedding_neardups_bucketed",
+    # -- multimodal --
+    "image_features",
+    "audio_features",
+    # -- relational / windows / set ops --
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_topk_events",
+    "asof_join_window",
+    "covar_partials",
+    "sessionize",
+    "anti_join_unmatched",
+    "rollup_pricing",
+    "distinct_customers",
+    "overlap_pages",
+    "events_by_hour",
+    "json_extract_props",
+    "except_pages",
+    "value_percentiles",
+]
+
+#: Pytest-parity-only twins (same oracle check, not driver-recorded):
+#: each has a driver-recorded representative of the same operator family.
+DEMOTED = [
+    "pip_join_arrow",        # strategy twin of pip_join / pip_join_salted
+    "world_to_pixel",        # Arrow twin of world_to_pixel_jvm
+    "jaccard_neardups",      # all-pairs verifier; LSH scale path is gated
+    "embedding_neardups",    # all-pairs verifier; bucketed path is gated
+    "asof_join",             # cogroup comparator; window twin is gated
+    "tile_counts",           # subset of tile_checksums
+    "ann_lsh_buckets",       # bucket assignment; ann_ivf gates the family
+    "label_centroid_norms",  # array-agg family covered by ann_topk/covar
+    "semi_join_active",      # semi-join also exercised in jaccard LSH path
+    "remap_checksums",       # RNG twin; remap_pixels gates per-pixel
+]
+
+
+def _merged() -> dict:
     from . import queries_geo
 
     merged: dict = {}
@@ -27,6 +111,22 @@ def all_queries() -> dict:
         except ImportError:
             pass
     return merged
+
+
+def all_queries(include_demoted: bool = False) -> dict:
+    merged = _merged()
+    unplaced = set(merged) - set(PRIORITY) - set(DEMOTED)
+    if unplaced:
+        raise ValueError(
+            f"queries not placed in registry PRIORITY/DEMOTED: {sorted(unplaced)}"
+        )
+    missing = [n for n in PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"PRIORITY names with no implementation: {missing}")
+    if len(PRIORITY) > DRIVER_CAP:
+        raise ValueError(f"PRIORITY exceeds driver cap: {len(PRIORITY)}")
+    names = PRIORITY + [n for n in DEMOTED if n in merged] if include_demoted else PRIORITY
+    return {n: merged[n] for n in names}
 
 
 def _wrap(fn: Callable) -> Callable:

@@ -148,7 +148,15 @@ def _xmp_flat(xmp: str) -> dict[str, str]:
 
 
 def _dms_to_decimal(dms, ref: str) -> float:
-    sign = 1.0 if ref in "NE" else -1.0
+    # match the ref letter explicitly: a truncated/empty GPS ref must not
+    # silently resolve to the positive hemisphere ('' in "NE" is True)
+    r = ref.strip().upper()
+    if r in ("N", "E"):
+        sign = 1.0
+    elif r in ("S", "W"):
+        sign = -1.0
+    else:
+        raise ParamFileError(f"unknown GPS hemisphere ref: {ref!r}")
     return ((dms[2] / 60 + dms[1]) / 60 + dms[0]) * sign
 
 
@@ -366,7 +374,12 @@ def _rat(v: float, den: int = 1_000_000) -> tuple[int, int]:
     v = float(v)
     while den > 1 and v * den > 4_294_967_295:
         den //= 10
-    return int(round(v * den)), den
+    num = int(round(v * den))
+    if not 0 <= num <= 4_294_967_295:
+        # den backoff stops at 1; a negative or > 2^32-1 value cannot be
+        # an unsigned RATIONAL — fail here, not in struct.pack
+        raise ParamFileError(f"value {v!r} does not fit a TIFF RATIONAL")
+    return num, den
 
 
 def build_exif_bytes(

@@ -314,3 +314,21 @@ def test_exif_roundtrip_property():
         assert t.rpy == pytest.approx((roll, pitch, yaw), abs=1e-9)
 
     check()
+
+
+def test_dms_ref_strict_and_rat_bounds():
+    """A truncated GPS ref must raise, not silently read as northern
+    hemisphere ('' in "NE" is True); _rat must reject values that cannot
+    be an unsigned TIFF RATIONAL instead of failing in struct.pack."""
+    from orthority_spark.sources.exif import _dms_to_decimal, _rat
+
+    assert _dms_to_decimal((10.0, 30.0, 0.0), "S") == -10.5
+    assert _dms_to_decimal((10.0, 30.0, 0.0), "w") == -10.5  # case-folded
+    assert _dms_to_decimal((10.0, 30.0, 0.0), "N ") == 10.5
+    for bad in ("", "NE", "X"):
+        with pytest.raises(ParamFileError):
+            _dms_to_decimal((1.0, 0.0, 0.0), bad)
+    assert _rat(2.5, 1_000_000) == (2_500_000, 1_000_000)
+    for bad_v in (-1.0, 5e9):
+        with pytest.raises(ParamFileError):
+            _rat(bad_v)

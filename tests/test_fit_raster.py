@@ -139,6 +139,26 @@ def test_sample_dem_z_matches_surface(spark):
     assert all(abs(v - DEM_OFFSET) < 1e-6 for v in got2.values())
 
 
+def test_sample_dem_z_drops_out_of_extent(spark):
+    """A point just outside the DEM grid must be DROPPED, not aliased to
+    tile 0 by sign-keeping % and given a clamped-border z (the reference
+    errors on outside-DEM sources, ortho.py:120; the SQL oracle drops)."""
+    dem = fixture_dem(spark)
+    # extent: x in [18000, 22800], y in [27660, 31500]
+    pts = spark.createDataFrame(
+        [
+            ("in", 19000.0, 30000.0),
+            ("left", 17990.0, 30000.0),    # gcol = -1 -> would hit tile 0
+            ("above", 19000.0, 31710.0),   # grow = -7
+            ("right", 22810.0, 30000.0),
+            ("below", 19000.0, 27650.0),
+        ],
+        "url string, px double, py double",
+    )
+    got = {r.url for r in sample_dem_z(pts, dem, band=1).collect()}
+    assert got == {"in"}
+
+
 def test_sample_dem_z_matches_scalar_twin(spark):
     """Vectorized per-tile gather == per-point scalar arithmetic (bit
     parity), including border points that take the nearest-cell fallback."""

@@ -25,7 +25,7 @@ def setup():
     return model, src, transform
 
 
-@pytest.mark.parametrize("interp", ["nearest", "bilinear"])
+@pytest.mark.parametrize("interp", ["nearest", "bilinear", "cubic", "lanczos"])
 @pytest.mark.parametrize("dem_name", ["plane", "sinusoid"])
 def test_tiled_remap_matches_oracle(spark, setup, interp, dem_name):
     model, src, transform = setup
