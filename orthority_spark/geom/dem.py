@@ -32,30 +32,36 @@ def dem_plane(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return np.full(np.broadcast(x, y).shape, DEM_OFFSET)
 
 
-def ray_dem_intersect(
-    model,
-    ji: np.ndarray,
+def ray_march_params(
+    dirs: np.ndarray,
+    origins: np.ndarray,
     dem_fn,
     min_z: float,
     max_z: float,
     step: float = DEM_RES / 2,
 ) -> np.ndarray:
-    """Intersect pixel rays with an analytic DEM surface, batched.
+    """March rays given in parameter form — (3,N) directions + (3,N)
+    origins, point(z) = dir * ((z - oz) / dz) + origin — against an
+    analytic DEM: linspace samples from max_z to min_z, first sample
+    at/below the surface (the reference's first-intersection rule,
+    camera.py:158-164; falls back to the min_z point when none), then a
+    20-pass bisection between the bracketing samples.
 
-    For each pixel column in ``ji`` (2,N), sample the ray between max_z and
-    min_z with ~step vertical spacing, evaluate the DEM at the sampled (x,y)
-    and return the first sample at/below the surface — the reference's
-    first-intersection rule (camera.py:158-164); falls back to the min_z
-    point when no intersection exists, then refines by one bisection pass
-    between the bracketing samples for sub-step accuracy.
-    """
-    ji = np.asarray(ji, dtype="float64")
+    Every op is elementwise with a fixed order, so the oracle-gated query
+    can mirror the march term-for-term in SQL (the trig inside ``dem_fn``
+    is quantized to float32 by the gate to absorb cross-engine 1-ulp
+    differences)."""
+    dirs = np.asarray(dirs, dtype="float64")
+    origins = np.asarray(origins, dtype="float64")
     n_steps = max(int(np.ceil((max_z - min_z) / step)) + 1, 2)
     ray_z = np.linspace(max_z, min_z, n_steps)  # (S,)
-    # (3, S*N): for each z, all points
-    S, N = n_steps, ji.shape[1]
+    S, N = n_steps, dirs.shape[1]
     xyz = np.stack(
-        [model.pixel_to_world_z(ji, np.full(N, z)) for z in ray_z], axis=0
+        [
+            dirs * ((np.full(N, z) - origins[2]) / dirs[2]) + origins
+            for z in ray_z
+        ],
+        axis=0,
     )  # (S, 3, N)
     surf = dem_fn(xyz[:, 0, :], xyz[:, 1, :])  # (S, N)
     below = xyz[:, 2, :] <= surf  # (S, N)
@@ -78,3 +84,20 @@ def ray_dem_intersect(
             hi = np.where(has_prev & ~below_mid, mid, hi)
         out = np.where(has_prev, lo, out)
     return out
+
+
+def ray_dem_intersect(
+    model,
+    ji: np.ndarray,
+    dem_fn,
+    min_z: float,
+    max_z: float,
+    step: float = DEM_RES / 2,
+) -> np.ndarray:
+    """Intersect pixel rays with an analytic DEM surface, batched: pixel
+    boundary -> camera rays (dir = R @ pixel_to_camera, origin = T), then
+    ``ray_march_params``."""
+    ji = np.asarray(ji, dtype="float64")
+    dirs = model.R @ model._pixel_to_camera(ji)
+    origins = np.broadcast_to(model.T, (3, ji.shape[1]))
+    return ray_march_params(dirs, origins, dem_fn, min_z, max_z, step)

@@ -52,6 +52,7 @@ def knn_kring(
     summary: DataFrame,
     k: int = 3,
     ring: int = 8,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Cell k-ring candidate join + window top-k (the 10^12-page plan).
 
@@ -59,6 +60,12 @@ def knn_kring(
     covering-cell is replicated to its k-ring, so the pages side joins on
     its own cell with zero blow-up and no shuffle when the expanded index
     still broadcasts.
+
+    Size guard: the expansion is (2*ring+1)^2 rows per covering cell;
+    when the estimate exceeds ``max_broadcast_rows`` (~100 MB of packed
+    longs at the default), broadcasting it would stress the driver, so
+    the join degrades explicitly to a shuffle equi-join on the cell key
+    instead of failing mid-broadcast.
     """
     # decode (res, ix, iy), wrap ix around the antimeridian (mod 2^res) and
     # drop out-of-range iy — mirrors grid.k_ring exactly, so neighborhoods
@@ -98,9 +105,22 @@ def knn_kring(
     # (filename, cell) and each page carries exactly one cell, so a
     # (url, filename) pair can appear at most once — a distinct here
     # would shuffle the full candidate set for nothing
+    est_rows = footprint_cells.count() * (2 * ring + 1) ** 2
+    if est_rows <= max_broadcast_rows:
+        expanded = F.broadcast(expanded)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"knn_kring: expanded cell index ~{est_rows} rows exceeds the "
+            f"broadcast guard ({max_broadcast_rows}); using a shuffle "
+            "equi-join on cell (raise max_broadcast_rows or lower ring "
+            "to restore the broadcast plan)",
+            stacklevel=2,
+        )
     cand = (
         pages_cells.select("url", "px", "py", "cell")
-        .join(F.broadcast(expanded), "cell")
+        .join(expanded, "cell")
         .join(F.broadcast(summary.select("filename", "cx", "cy")), "filename")
         .select("url", "px", "py", "filename", "cx", "cy")
     )

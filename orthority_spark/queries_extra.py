@@ -484,36 +484,154 @@ def q_remap_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ray-march gate constants: min_z / max_z / step -> 11 linspace samples,
+# trig quantized to float32 on BOTH engines (playbook: absorbs 1-ulp
+# cross-engine sin/cos differences; every other op is exact IEEE double)
+_RAY_MINZ, _RAY_MAXZ, _RAY_STEP = 750.0, 900.0, 15.0
+_RAY_S = 11
+_RAY_NPTS = 32
+
+
+def _ray_dem32(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return (825.0 + 25.0 * (np.sin(x / 600.0) * np.cos(y / 600.0))).astype(
+        "float32"
+    )
+
+
+def _ray_params() -> list[tuple]:
+    """(filename, pt, dx, dy, dz, tx, ty, tz) per boundary ray — input
+    CONSTANTS shared verbatim by the Spark query and the SQL oracle (the
+    march over them is what is under test)."""
+    from .geom.boundary import pixel_boundary
+
+    rows = []
+    for name in sorted(fp.fixture_models()):
+        m = fp.fixture_models()[name]
+        ji = pixel_boundary(m.im_size, num_pts=_RAY_NPTS)
+        dirs = m.R @ m._pixel_to_camera(ji)
+        for k in range(ji.shape[1]):
+            rows.append(
+                (
+                    name, k,
+                    float(dirs[0, k]), float(dirs[1, k]), float(dirs[2, k]),
+                    float(m.T[0, 0]), float(m.T[1, 0]), float(m.T[2, 0]),
+                )
+            )
+    return rows
+
+
 def q_ray_dem_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ray–DEM intersection (the orthorectification core) as an Arrow
-    kernel: per-image boundary points intersected with the sinusoid DEM;
-    returns per-image mean ground z + footprint area at the surface."""
+    """Ray–DEM intersection (the orthorectification core,
+    /root/reference/orthority/camera.py:103-165) oracle-gated per ray:
+    boundary-pixel rays marched against the sinusoid DEM by the batched
+    ``ray_march_params`` kernel inside mapInPandas; every marched hit
+    point (x, y, z) is compared bit-for-bit against a DuckDB twin that
+    replays the same linspace sampling + first-below rule + 20-pass
+    bisection as a recursive CTE."""
     import pandas as pd
 
-    from .geom.boundary import pixel_boundary, polygon_area
-    from .geom.dem import dem_sinusoid, ray_dem_intersect
+    from .geom.dem import ray_march_params
 
-    models = fp.fixture_models()
-    names = sorted(models)
-    ndf = spark.createDataFrame([(n,) for n in names], "filename string")
+    rays = spark.createDataFrame(
+        _ray_params(),
+        "filename string, pt int, dx double, dy double, dz double, "
+        "tx double, ty double, tz double",
+    )
 
     def march(it):
         for pdf in it:
-            rows = []
-            for name in pdf["filename"]:
-                m = models[name]
-                ji = pixel_boundary(m.im_size, num_pts=32)
-                xyz = ray_dem_intersect(m, ji, dem_sinusoid, 750.0, 900.0)
-                rows.append(
-                    (name, float(xyz[2].mean()), polygon_area(xyz[:2]))
-                )
+            if not len(pdf):
+                continue
+            dirs = np.vstack([pdf["dx"], pdf["dy"], pdf["dz"]])
+            orig = np.vstack([pdf["tx"], pdf["ty"], pdf["tz"]])
+            out = ray_march_params(
+                dirs, orig, _ray_dem32, _RAY_MINZ, _RAY_MAXZ, _RAY_STEP
+            )
             yield pd.DataFrame(
-                rows, columns=["filename", "mean_ground_z", "surface_area"]
+                {
+                    "filename": pdf["filename"].to_numpy(),
+                    "pt": pdf["pt"].to_numpy(),
+                    "x": out[0], "y": out[1], "z": out[2],
+                }
             )
 
-    return ndf.mapInPandas(
-        march, schema="filename string, mean_ground_z double, surface_area double"
+    return rays.repartition(8, "filename").mapInPandas(
+        march, schema="filename string, pt int, x double, y double, z double"
     )
+
+
+def o_ray_dem_footprints() -> str:
+    vals = ", ".join(
+        f"('{n}', {k}, {dlit(dx)}, {dlit(dy)}, {dlit(dz)}, "
+        f"{dlit(tx)}, {dlit(ty)}, {dlit(tz)})"
+        for n, k, dx, dy, dz, tx, ty, tz in _ray_params()
+    )
+    # np.linspace(max, min, S): z_s = s * ((min-max)/(S-1)) + max, last
+    # pinned to min exactly
+    zstep = dlit((_RAY_MINZ - _RAY_MAXZ) / (_RAY_S - 1))
+
+    def dem32(x: str, y: str) -> str:
+        return (
+            f"CAST(825.0 + 25.0 * (SIN(({x}) / 600.0) * COS(({y}) / 600.0)) "
+            f"AS REAL)"
+        )
+
+    return f"""
+WITH RECURSIVE rays(filename, pt, dx, dy, dz, tx, ty, tz) AS (VALUES {vals}),
+samp AS (
+  SELECT r.*, s.range AS s,
+         CASE WHEN s.range = {_RAY_S - 1} THEN {dlit(_RAY_MINZ)}
+              ELSE s.range * {zstep} + {dlit(_RAY_MAXZ)} END AS zray
+  FROM rays r, range({_RAY_S}) s
+), pos AS (
+  SELECT *, dx * ((zray - tz) / dz) + tx AS x,
+            dy * ((zray - tz) / dz) + ty AS y,
+            dz * ((zray - tz) / dz) + tz AS zz
+  FROM samp
+), bel AS (
+  SELECT *, zz <= {dem32('x', 'y')} AS below FROM pos
+), fidx AS (
+  SELECT filename, pt,
+         COALESCE(MIN(CASE WHEN below THEN s END), {_RAY_S - 1}) AS f,
+         MIN(CASE WHEN below THEN s END) IS NULL AS none
+  FROM bel GROUP BY filename, pt
+), lo0 AS (
+  SELECT b.filename, b.pt, b.x AS lx, b.y AS ly, b.zz AS lz
+  FROM bel b JOIN fidx fi
+    ON b.filename = fi.filename AND b.pt = fi.pt AND b.s = fi.f
+), hi0 AS (
+  SELECT b.filename, b.pt, b.x AS hx, b.y AS hy, b.zz AS hz
+  FROM bel b JOIN fidx fi
+    ON b.filename = fi.filename AND b.pt = fi.pt AND b.s = fi.f - 1
+  WHERE fi.f > 0 AND NOT fi.none
+), it AS (
+  SELECT l.filename, l.pt, 0 AS i, lx, ly, lz, hx, hy, hz
+  FROM lo0 l JOIN hi0 h ON l.filename = h.filename AND l.pt = h.pt
+  UNION ALL
+  SELECT filename, pt, i + 1,
+         CASE WHEN mok THEN mx ELSE lx END,
+         CASE WHEN mok THEN my ELSE ly END,
+         CASE WHEN mok THEN mz ELSE lz END,
+         CASE WHEN mok THEN hx ELSE mx END,
+         CASE WHEN mok THEN hy ELSE my END,
+         CASE WHEN mok THEN hz ELSE mz END
+  FROM (
+    SELECT *, mz <= {dem32('mx', 'my')} AS mok
+    FROM (
+      SELECT filename, pt, i, lx, ly, lz, hx, hy, hz,
+             (hx + lx) / 2 AS mx, (hy + ly) / 2 AS my, (hz + lz) / 2 AS mz
+      FROM it WHERE i < 20
+    ) m1
+  ) m2
+)
+SELECT filename, CAST(pt AS INTEGER) AS pt, lx AS x, ly AS y, lz AS z
+FROM it WHERE i = 20
+UNION ALL
+SELECT l.filename, CAST(l.pt AS INTEGER) AS pt, lx, ly, lz
+FROM lo0 l
+WHERE NOT EXISTS (
+  SELECT 1 FROM hi0 h WHERE h.filename = l.filename AND h.pt = l.pt
+)"""
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,7 +964,7 @@ QUERIES = {
     "remap_pixels_cubic": (q_remap_pixels_cubic, o_remap_pixels_cubic),
     "undistort_pixels": (q_undistort_pixels, o_undistort_pixels),
     "remap_checksums": (q_remap_checksums, None),
-    "ray_dem_footprints": (q_ray_dem_footprints, None),
+    "ray_dem_footprints": (q_ray_dem_footprints, o_ray_dem_footprints),
     "image_features": (q_image_features, None),
     "pan_sharpen_stats": (q_pan_sharpen_stats, o_pan_sharpen_stats),
     "pan_sharpen_rows": (q_pan_sharpen_rows, o_pan_sharpen_rows),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -46,19 +47,32 @@ def _make_sessionizer(with_timeout: bool, gap_s: float, timeout_ms: int):
             last_ts, session_id = state.get
         else:
             last_ts, session_id = float("-inf"), 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for r in pdf.itertuples():
-                ts = r.ts.timestamp()
-                if ts - last_ts > gap_s:
-                    session_id += 1
-                last_ts = ts
-                out.append((key[0], r.event_id, session_id))
-        state.update((last_ts, session_id))
+        # one global sort per group-trigger (chunks are not mutually
+        # ordered), then the per-event loop collapses to a vectorized
+        # diff/cumsum with a scalar carry from state: a new session
+        # starts wherever the gap from the previous event (or the stored
+        # last_ts for the first row) exceeds gap_s
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if not len(pdf):
+            state.update((last_ts, session_id))
+            if with_timeout:
+                state.setTimeoutDuration(timeout_ms)
+            yield _empty_out()
+            return
+        tsv = pdf["ts"].to_numpy("datetime64[ns]").astype("int64") / 1e9
+        prev = np.concatenate([[last_ts], tsv[:-1]])
+        inc = np.cumsum((tsv - prev) > gap_s)
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(len(pdf), key[0], dtype="int64"),
+                "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+                "session_id": (session_id + inc).astype("int64"),
+            }
+        )
+        state.update((float(tsv[-1]), int(session_id + inc[-1])))
         if with_timeout:
             state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(out, columns=["user_id", "event_id", "session_id"])
+        yield out
 
     return _sessionize_group
 

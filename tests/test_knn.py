@@ -39,6 +39,23 @@ def test_kring_equals_bruteforce(spark, inputs):
     assert len(brute) > 0
 
 
+def test_kring_broadcast_guard_falls_back_to_shuffle_join(spark, inputs):
+    """When the (2*ring+1)^2 expansion estimate exceeds the broadcast
+    guard, knn_kring must warn, switch to a shuffle equi-join, and return
+    identical results."""
+    import warnings
+
+    pages, cells, summary = inputs
+    want = _rows(knn_kring(pages, cells, summary, k=2, ring=40))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = _rows(
+            knn_kring(pages, cells, summary, k=2, ring=40, max_broadcast_rows=10)
+        )
+    assert any("broadcast guard" in str(x.message) for x in w)
+    assert got == want
+
+
 def test_kring_ring_too_small_never_invents_candidates(spark, inputs):
     pages, cells, summary = inputs
     # ranks renumber when candidates are missing, so compare pair sets:
