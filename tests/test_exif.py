@@ -332,3 +332,52 @@ def test_dms_ref_strict_and_rat_bounds():
     for bad_v in (-1.0, 5e9):
         with pytest.raises(ParamFileError):
             _rat(bad_v)
+
+
+# First 2351 bytes (IFD/EXIF/GPS/XMP region; strip data truncated) of the
+# reference's real DJI capture tests/data/odm/images/100_0005_0142.tif —
+# bytes this repo's writer did NOT produce, so writer-blind-spot bugs in
+# the parser can't hide behind a write->parse round trip.
+_DJI_TIFF_HEAD_B64 = (
+    "eNqVlEtw20QYgH8/Euc5hZJOQ8dpXAWmlESyXpYlEzctNqZhYug4ZXDgJFtrW40seSQldnLK"
+    "dLj0AMMRDgwcGI5cO9OWgSM36CXD4wIH4MgV6Azhl604TqzwkGa1/+7//Y/9d1erq8/DGAA8"
+    "CRCKQAil8giKvvxeBCCMMnbwPbaIPx/DNurLo9jO+bLHxX3Zay/6svfJDcj5UBRmUbyG8ku+"
+    "/CO2dT/Wxzj/VigG76K8j/LZcATCKIfxnQmPdGN+ivMPwyH4dR5AQ+XeJ2GQzwCsUdB9xrrv"
+    "9nWAL/MAP+cAOtj/dA3Aehbg3gqAqACw2G6lAO4g9/AKwOcSwIgAUMT+CRngKxrgwzmAb7CV"
+    "MFIBU905jzr0MXIO4G0O4E8b4P49gI8eA5zHJf2+F4I6pnfxlxDahOFOOQz774Sh/DVm/0cY"
+    "HiUjsF+JwMIHERAeReDxXxF4Px6FRiYK9zeiAHYUdu5G4e5nUSxWqFe17vfA7/f+ZXzw7cEP"
+    "kIOx0dHY6MhYLBYbHx+bmJqZnpqcnHr67FNnZuYuzF+cuxCPJ55hLieopYV4/Ln0lSWWE0Vx"
+    "/rKSlfllRhB5z0lofHx8anJqdnp6lr8Uv8T/7+fgu07TyJSLN7PLK52WWt0kbqJC6rqZpX57"
+    "8AWV0LUs9UaqyBZbOdLQb+zaZH331VvV3c2qolErVyeWO5lOs9UkrppAR6aT6WQpVbMqJIOy"
+    "N52krk4klm2tlinlCz6DoyzVcN1WJplst9tMW2Asu57kFEVJsnyS52kkaGfHdNUObToLnoue"
+    "jzxxqrbecnXLTHhjtWJtuVkq/8pqoujlkFddlUI44Udy9dpRKNNhuqkxVauZ9DRJjmGTgzjp"
+    "6KfgnmYIx5UH0x21FQQXi/+MN5vHLLRqH29t2Ua3Rlo1SQzSJKbroAl3jK/aTrD/qtoktkrb"
+    "apt2iOvqZt0ZSk+zLZPQ2m392M7guOuhrz2yw/Vkipam13aw6CRL8Syn0KxIc1xfnbMJqgLV"
+    "XvkzRXWTdDdvYMrSiJGlCjlJ4NhSd16rZmqW3VRxn/WmWifJ2616T3GYVOZ6xbGMLZdcN1zd"
+    "3dLQ6SInS4wonuBKxFBdfXuQUxRGVk5gL7ecNfWQ4EVGSiuypIjpAMwy64cgx7OMkuKEFK+k"
+    "TpJ6s6IaJcsw8qRuEy8uy7BsILWhtg8hmme4YOim7lYbfUwKcFYw9HrDHQxJK4wUTA2EXOQZ"
+    "JRg6HjLNpIKx8nqLEPxpLKYZ8ZRohwQ7vLoe8eYRMbSunNoskW1iO5hFcG1OVa8To+b9ILLU"
+    "66ZGarpJtCHnhl6x8bxqBauqGmsEd7eRpQRJkhhsKVY81eA1/CmhSQ5vJrHLeGzSgoTZe89/"
+    "s9nAEyTjYQu0KbmbBUOtZ6lUgGbd1fAc4nrRVhk+8z3Auz4eIMtyIHCj3gN4fuiQ5ElbtVu9"
+    "yiXwHss0i1c5/YIgpdJowPafJZxhGWlwhsYFCQNjXsBNH9SzDC+lWUX2x3gmOE5Jp/tD/Cq8"
+    "KMtcf4hL4NmU1DNmBYGTOLFXs78B4lZc4w=="
+)
+
+
+def test_parse_real_dji_exif_bytes():
+    import base64
+    import zlib
+
+    data = zlib.decompress(base64.b64decode(_DJI_TIFF_HEAD_B64))
+    t = parse_exif(data)
+    assert t.im_size == (1368, 912)
+    # GPS IFD (DMS + refs) - cross-checked against the dataset's opensfm
+    # reconstruction reference_lla (24.6809, 120.9506)
+    assert t.lla == pytest.approx((24.67986947, 120.95135295, 186.44), abs=1e-6)
+    # DJI XMP gimbal RPY with the +90 pitch read offset applied
+    assert t.rpy == pytest.approx((0.0, 30.0, -2.1), abs=1e-9)
+    # DJI DewarpData -> brown coefficients (fx, fy, cx, cy, k1..p2..k3)
+    assert t.dewarp == pytest.approx(
+        [3657.02, 3650.62, -4.03, 23.1, -0.267098, 0.111977,
+         0.000924881, 8.82056e-05, -0.0331614]
+    )
