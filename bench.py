@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "jaccard_neardups_lsh",
     "corpus_clean",
     "simhash",
+    "tf_idf",
+    "stratified_sample",
     "ann_topk",
     "embedding_neardups_bucketed",
     "remap_pixels_cubic",
@@ -267,7 +269,9 @@ def run_queries(cores: int) -> dict[str, float]:
     )
     ensure_on_executors(spark)
     spark.range(1000).count()
-    qs = all_queries()
+    # include_demoted: the bench deliberately times pytest-parity twins
+    # (world_to_pixel Arrow, asof_join cogroup) as comparators
+    qs = all_queries(include_demoted=True)
     out = {}
     for name in BENCH_QUERIES:
         fn = qs[name][0]

@@ -230,6 +230,46 @@ def cmd_exif_scan(args) -> int:
     return 0
 
 
+def cmd_ortho(args) -> int:
+    """`oty frame/odm` orthorectification analogue: tiled distributed
+    remap of a fixture camera over the analytic DEM, any of the four
+    interpolations (cubic = the reference default), tile blocks written
+    as parquet."""
+    import numpy as np
+
+    from .geom import dem as demmod
+    from .operators.remap import remap_tiles, tile_windows
+    from .pyfiles import ensure_on_executors
+    from .sources import footprints as fp
+    from .sources.writers import write_table
+
+    spark = _spark(args)
+    ensure_on_executors(spark)
+    model = fp.fixture_models()[args.image]
+    i, j = np.indices((150, 200))
+    src = ((i + j) % 2) * 100.0 + ((i * 37 + j * 91) % 1000) / 1000.0
+    dem_fn = demmod.dem_plane if args.dem == "plane" else demmod.dem_sinusoid
+    transform = (
+        args.resolution, 0.0, 19900.0, 0.0, -args.resolution, 30080.0
+    )
+    tiles = tile_windows(spark, args.width, args.height)
+    out = remap_tiles(tiles, model, src, transform, dem_fn, interp=args.interp)
+    write_table(out, args.out, overwrite=args.overwrite)
+    w = spark.read.parquet(args.out)
+    n_tiles = w.count()  # metadata count, no recompute
+    # masked pixels arrive as NULL (pandas->Arrow maps the NaN nodata to
+    # null) and isnan(NULL) is FALSE — test both
+    valid = w.selectExpr(
+        "sum(size(filter(block, v -> v IS NOT NULL AND NOT isnan(v)))) AS v"
+    ).first().v
+    print(json.dumps({
+        "tiles": n_tiles, "valid_pixels": int(valid or 0),
+        "interp": args.interp, "out": args.out,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="orthority_spark")
     ap.add_argument("--master", default="local[*]")
@@ -290,6 +330,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--gcps", required=True, help="GCP GeoJSON")
     p.add_argument("--int-params", required=True, help="interior params YAML")
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("ortho", help="tiled distributed orthorectification remap")
+    p.add_argument("--image", default="img_0000")
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--height", type=int, default=80)
+    p.add_argument(
+        "--interp", default="cubic",
+        choices=["nearest", "bilinear", "cubic", "lanczos"],
+    )
+    p.add_argument("--dem", default="plane", choices=["plane", "sinusoid"])
+    p.add_argument("--resolution", type=float, default=2.0)
+    p.add_argument("--out", required=True)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_ortho)
 
     p = sub.add_parser("exif-scan", help="parse EXIF tags from binary blobs")
     p.add_argument("--input", required=True, help="parquet with filename/data")

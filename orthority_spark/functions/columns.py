@@ -43,3 +43,24 @@ def convert_dtype(c: Column, dtype: str) -> Column:
 def nodata_mask(band_array: Column, nodata) -> Column:
     """True where every band equals (null-safely) the nodata value."""
     return F.forall(band_array, lambda v: v.eqNullSafe(F.lit(nodata)))
+
+
+#: Default nodata per output dtype (reference common.py:58-63, Spark type
+#: names). The reference excludes int8/uint32/uint64-style dtypes because
+#: cv2.remap cannot fill them; this engine's gather is numpy and has no
+#: such limit, but the supported surface is kept identical so outputs are
+#: interchangeable.
+NODATA_VALS = {
+    "tinyint": 0,         # uint8 analogue (Spark has no unsigned)
+    "smallint": -32768,   # int16 min
+    "int": 0,             # uint16 analogue carrier
+    "float": float("nan"),
+    "double": float("nan"),
+}
+
+
+def default_nodata(dtype: str):
+    """Nodata value for a supported output dtype (raises KeyError on the
+    reference-excluded dtypes, matching its error contract
+    common.py:437)."""
+    return NODATA_VALS[dtype]

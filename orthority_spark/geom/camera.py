@@ -253,11 +253,17 @@ class FrameModel:
         grid = xy.reshape(2, n, n)
         inner_min = np.array([grid[0, :, 0].max(), grid[1, 0, :].max()])
         inner_max = np.array([grid[0, :, -1].min(), grid[1, -1, :].min()])
-        lo = outer_min * alpha + inner_min * (1 - alpha)
-        hi = outer_max * alpha + inner_max * (1 - alpha)
+        # interpolate FOCAL/CENTER between the alpha=0 and alpha=1
+        # solutions (the reference/cv2 convention, camera.py:771-777) —
+        # interpolating the rectangle bounds instead and inverting gives
+        # a different K for 0 < alpha < 1 (harmonic vs arithmetic mean)
         im = np.array(self.im_size, dtype="float64")
-        f = (im - 1) / (hi - lo)
-        c = -lo * f
+        f0 = (im - 1) / (inner_max - inner_min)
+        c0 = -f0 * inner_min
+        f1 = (im - 1) / (outer_max - outer_min)
+        c1 = -f1 * outer_min
+        f = f0 * (1 - alpha) + f1 * alpha
+        c = c0 * (1 - alpha) + c1 * alpha
         return np.array([[f[0], 0.0, c[0]], [0.0, f[1], c[1]], [0.0, 0.0, 1.0]])
 
     def horizon_fov(self) -> bool:

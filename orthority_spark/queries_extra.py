@@ -474,13 +474,15 @@ def q_remap_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform = (2.0, 0.0, 19900.0, 0.0, -2.0, 30080.0)
     tiles = tile_windows(spark, 96, 80, tile=64)
     out = remap_tiles(tiles, model, src, transform, dem_plane)
+    # masked pixels arrive as NULL (pandas->Arrow) and isnan(NULL) is
+    # FALSE — the valid filter must test both
+    valid = "filter(block, v -> v IS NOT NULL AND NOT isnan(v))"
     return out.select(
         "tile_id",
         F.expr(
-            "aggregate(filter(block, v -> NOT isnan(v)), CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v)"
+            f"aggregate({valid}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         ).alias("block_sum"),
-        F.expr("size(filter(block, v -> NOT isnan(v)))").alias("n_valid"),
+        F.expr(f"size({valid})").alias("n_valid"),
     )
 
 

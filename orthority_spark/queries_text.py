@@ -557,6 +557,147 @@ def o_doc_fingerprint() -> str:
     )
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index relevance: per-doc top-5 TF-IDF terms.
+
+    100 TB shape: tf is a partial-aggregated groupBy(doc, token); df is a
+    second partial agg over the tf table (no re-scan of text); the
+    df-join shuffles on the token key; ranking is one window per doc.
+    The idf float is absorbed to float32 so both engines rank on
+    identical keys (ties broken by token)."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn(
+            "tfidf",
+            F.expr(
+                "CAST(CAST(tf AS DOUBLE) * LN((CAST(n_docs AS DOUBLE) + 1.0)"
+                " / (CAST(df AS DOUBLE) + 1.0)) AS FLOAT)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "token", "tf", "df", "tfidf")
+    )
+
+
+def o_tf_idf() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(CAST(tf.tf AS DOUBLE) * LN((CAST(
+             (SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0)
+           / (CAST(df.df AS DOUBLE) + 1.0)) AS REAL) AS tfidf
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rank <= 5"""
+
+
+# per-lang keep-rates out of 10^4 for the deterministic sampler
+_STRATA = {"en": 1000, "de": 5000, "zh": 2500, "fr": 7500, "es": 10000}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the training-mix
+    primitive (downsample dominant languages, keep the tail): a doc
+    survives iff md5(doc_id)-derived uniform int falls under its
+    language's keep-rate. Pure scan-stage filter: no shuffle, no RNG
+    state, reproducible across cluster sizes and retries, and the rate
+    table is a broadcast literal."""
+    docs = _docs(spark, sf_dir)
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 10000"
+    )
+    rate_expr = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {p}" for lang, p in _STRATA.items()
+    ) + " ELSE 0 END"
+    return (
+        docs.withColumn("u", u)
+        .where(F.col("u") < F.expr(rate_expr))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+    )
+
+
+def o_stratified_sample() -> str:
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {p}" for lang, p in _STRATA.items()
+    ) + " ELSE 0 END"
+    return f"""
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 10000 AS u
+  FROM documents
+) WHERE u < {rate}
+GROUP BY lang"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the (small) eval set — here the docs with doc_id % 97 == 0
+    stand in for an eval benchmark.
+
+    100 TB shape: the eval shingle set is tiny and BROADCASTS; the
+    training side explodes shingles and left-semi joins map-side, so no
+    shuffle of the corpus ever happens; per-doc hit counts partial-agg."""
+    sh = _shingles(spark, sf_dir)
+    ev = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def o_contamination_check() -> str:
+    return f"""{_SHINGLES_CTE}, ev AS (
+  SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0
+)
+SELECT doc_id, COUNT(*) AS n_shared_ngrams
+FROM shingles
+WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM ev)
+GROUP BY doc_id"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, o_dedup_exact),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
@@ -570,4 +711,7 @@ QUERIES = {
     "token_count_bpe": (q_token_count_bpe, o_token_count_bpe),
     "lang_profile": (q_lang_profile, o_lang_profile),
     "doc_fingerprint": (q_doc_fingerprint, o_doc_fingerprint),
+    "tf_idf": (q_tf_idf, o_tf_idf),
+    "stratified_sample": (q_stratified_sample, o_stratified_sample),
+    "contamination_check": (q_contamination_check, o_contamination_check),
 }

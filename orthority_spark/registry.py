@@ -93,6 +93,11 @@ DEMOTED = [
     "label_centroid_norms",  # array-agg family covered by ann_topk/covar
     "semi_join_active",      # semi-join also exercised in jaccard LSH path
     "remap_checksums",       # RNG twin; remap_pixels gates per-pixel
+    # new-family ops added after the cap filled: full oracle parity in
+    # tests, candidates to swap into PRIORITY next round
+    "tf_idf",
+    "stratified_sample",
+    "contamination_check",
 ]
 
 

