@@ -136,7 +136,7 @@ def materialize_pages() -> None:
     spark.stop()
 
 
-def _build_pipeline(spark, cores: int, small: bool = False):
+def _build_pipeline(spark, small: bool = False):
     """The headline broadcast plan (skew strategies are probed join-only
     by run_skew_once)."""
     recs = fp.footprint_records()
@@ -172,13 +172,13 @@ def run_pipeline_once(cores: int) -> tuple[float, float, float, dict]:
     spark.range(1000).count()  # session warmup (JVM init, not the metric)
     times, tiles = [], {}
     for _ in range(2):
-        df = _build_pipeline(spark, cores)
+        df = _build_pipeline(spark)
         t0 = time.perf_counter()
         rows = df.collect()
         times.append(time.perf_counter() - t0)
         tiles = {r.cell: (r.n_rows, r.checksum) for r in rows}
     # fixed-overhead probe: identical plan over the near-empty twin
-    df = _build_pipeline(spark, cores, small=True)
+    df = _build_pipeline(spark, small=True)
     t0 = time.perf_counter()
     df.collect()
     overhead = time.perf_counter() - t0

@@ -52,7 +52,12 @@ def _make_sessionizer(with_timeout: bool, gap_s: float, timeout_ms: int):
         # diff/cumsum with a scalar carry from state: a new session
         # starts wherever the gap from the previous event (or the stored
         # last_ts for the first row) exceeds gap_s
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("ts")
+            if chunks
+            else pd.DataFrame({"ts": [], "event_id": []})
+        )
         if not len(pdf):
             state.update((last_ts, session_id))
             if with_timeout:
