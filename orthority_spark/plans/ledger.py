@@ -46,9 +46,21 @@ class LedgerJob:
         self.out_dir = os.path.join(root, "out")
         self.ledger_dir = os.path.join(root, "ledger")
 
+    # -- filesystem (Hadoop FS API: works on file://, s3a://, gs://,
+    # hdfs:// alike — a plain os.listdir would pin resume to local disk) --
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _exists(self, path: str) -> bool:
+        fs, hp = self._fs(path)
+        return bool(fs.exists(hp))
+
     # -- ledger ------------------------------------------------------------
     def ledger(self) -> DataFrame:
-        if not os.path.exists(self.ledger_dir):
+        if not self._exists(self.ledger_dir):
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         return self.spark.read.parquet(self.ledger_dir)
 
@@ -59,15 +71,17 @@ class LedgerJob:
 
     def _disk_keys(self) -> list[int]:
         """Partition keys present in the output directory — a pure
-        directory listing (the metadata the parquet reader's planner
-        lists anyway; no data is read)."""
+        directory listing through the Hadoop FS API (the metadata the
+        parquet reader's planner lists anyway; no data is read; on an
+        object store this is the catalog/prefix listing)."""
         prefix = f"{self.part_col}="
-        if not os.path.isdir(self.out_dir):
+        fs, hp = self._fs(self.out_dir)
+        if not fs.exists(hp):
             return []
         return [
             int(name[len(prefix):])
-            for name in os.listdir(self.out_dir)
-            if name.startswith(prefix)
+            for st in fs.listStatus(hp)
+            if (name := st.getPath().getName()).startswith(prefix)
         ]
 
     # -- run ---------------------------------------------------------------
