@@ -86,26 +86,31 @@ BENCH_QUERIES = [
 ]
 
 
+def _have(suffix: str) -> bool:
+    return os.path.exists(os.path.join(PAGES_PARQUET + suffix, "_SUCCESS"))
+
+
 def materialize_pages() -> None:
-    done = all(
-        os.path.exists(os.path.join(PAGES_PARQUET + suf, "_SUCCESS"))
-        for suf in ("", "_small", "_cells", "_cells_skew")
-    )
-    if done:
+    """Build only the missing tables: the base + _small generation and
+    the derived _cells/_cells_skew projections regenerate independently
+    (a missing derived table must not wipe a valid 8M-row base)."""
+    if _have("") and _have("_small") and _have("_cells") and _have("_cells_skew"):
         return
-    for suf in ("", "_small", "_cells", "_cells_skew"):
-        shutil.rmtree(PAGES_PARQUET + suf, ignore_errors=True)
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen",
                       shuffle_partitions=CPUS * 2)
-    synthetic_pages(spark, N_PAGES, num_partitions=CPUS * 4).write.mode(
-        "overwrite"
-    ).parquet(PAGES_PARQUET)
-    # near-empty twin of the same table: times the fixed per-query latency
-    # (planning + AQE barriers + scheduling + broadcast build), which is
-    # data-volume-independent and amortises away on real cluster jobs
-    synthetic_pages(spark, 10_000, num_partitions=CPUS).write.mode(
-        "overwrite"
-    ).parquet(PAGES_PARQUET + "_small")
+    if not (_have("") and _have("_small")):
+        for suf in ("", "_small"):
+            shutil.rmtree(PAGES_PARQUET + suf, ignore_errors=True)
+        synthetic_pages(spark, N_PAGES, num_partitions=CPUS * 4).write.mode(
+            "overwrite"
+        ).parquet(PAGES_PARQUET)
+        # near-empty twin of the same table: times the fixed per-query
+        # latency (planning + AQE barriers + scheduling + broadcast
+        # build), which is data-volume-independent and amortises away on
+        # real cluster jobs
+        synthetic_pages(spark, 10_000, num_partitions=CPUS).write.mode(
+            "overwrite"
+        ).parquet(PAGES_PARQUET + "_small")
     # geotagged/cell-assigned projection for the skew probe: the salted
     # join is measured in ISOLATION (the map-side regex work of the full
     # pipeline otherwise Amdahl-dilutes the one hot reducer out of the
@@ -113,26 +118,29 @@ def materialize_pages() -> None:
     # dominates host noise (the probe demonstrates the hot-key effect;
     # all strategies run the identical amplified input and must agree
     # bit-for-bit)
-    ensure_on_executors(spark)
-    cells = tile_join.assign_cells(
-        with_geotag(
-            spark.read.parquet(PAGES_PARQUET).select("url", "text"),
-            token="float",
+    if not (_have("_cells") and _have("_cells_skew")):
+        for suf in ("_cells", "_cells_skew"):
+            shutil.rmtree(PAGES_PARQUET + suf, ignore_errors=True)
+        ensure_on_executors(spark)
+        cells = tile_join.assign_cells(
+            with_geotag(
+                spark.read.parquet(PAGES_PARQUET).select("url", "text"),
+                token="float",
+            )
+        ).select("url", "cell", "px", "py")
+        cells.write.mode("overwrite").parquet(PAGES_PARQUET + "_cells")
+        cells = spark.read.parquet(PAGES_PARQUET + "_cells")
+        top = cells.groupBy("cell").count().orderBy(F.desc("count")).first().cell
+        amp = (
+            cells.where(F.col("cell") == top)
+            .crossJoin(spark.range(3))
+            .select(
+                F.concat_ws("#", "url", "id").alias("url"), "cell", "px", "py"
+            )
         )
-    ).select("url", "cell", "px", "py")
-    cells.write.mode("overwrite").parquet(PAGES_PARQUET + "_cells")
-    cells = spark.read.parquet(PAGES_PARQUET + "_cells")
-    top = cells.groupBy("cell").count().orderBy(F.desc("count")).first().cell
-    amp = (
-        cells.where(F.col("cell") == top)
-        .crossJoin(spark.range(3))
-        .select(
-            F.concat_ws("#", "url", "id").alias("url"), "cell", "px", "py"
+        cells.unionByName(amp).write.mode("overwrite").parquet(
+            PAGES_PARQUET + "_cells_skew"
         )
-    )
-    cells.unionByName(amp).write.mode("overwrite").parquet(
-        PAGES_PARQUET + "_cells_skew"
-    )
     spark.stop()
 
 
@@ -386,7 +394,7 @@ def main() -> None:
         "scaling_efficiency_8_to_%d_marginal" % CPUS: round(eff_8_n_marginal, 3),
         "scaling_efficiency_8_to_%d" % CPUS: round(eff_8_n, 3),
         **hw,
-        "checksum_parity_all_levels_and_skew_strategies": parity,
+        "checksum_parity_all_levels": parity,
         "n_tiles": len(tiles[LEVELS[0]]),
     }
     _write_baseline_md(result)
@@ -470,8 +478,10 @@ data-volume-independent, amortised away on real cluster-scale jobs).
   unmitigated hot key**{', the skew win the strategy exists for' if r['salting_speedup_vs_hot_key_no_aqe'] >= 1.5 else ' (below the 1.5x separation target in this window)'}.
   (Broadcast on the same input: {r['skew_broadcast_rounds_sec']} s —
   beats all three; salting is for catalogs too big to broadcast.)
-- per-tile checksum parity across ALL levels AND all three join
-  strategies: **{r['checksum_parity_all_levels_and_skew_strategies']}**
+- per-tile checksum parity across ALL parallelism levels:
+  **{r['checksum_parity_all_levels']}**; across all four skew-probe
+  strategies on the amplified input:
+  **{r['skew_probe_checksum_parity']}**
   ({r['n_tiles']} tiles, order-independent sums — the per-band
   remap-equivalence recast)
 

@@ -235,22 +235,21 @@ def cmd_ortho(args) -> int:
     remap of a fixture camera over the analytic DEM, any of the four
     interpolations (cubic = the reference default), tile blocks written
     as parquet."""
-    import numpy as np
-
     from .geom import dem as demmod
     from .operators.remap import remap_tiles, tile_windows
     from .pyfiles import ensure_on_executors
+    from .queries_extra import _RM_TRANSFORM, _rm_src_array
     from .sources import footprints as fp
     from .sources.writers import write_table
 
     spark = _spark(args)
     ensure_on_executors(spark)
     model = fp.fixture_models()[args.image]
-    i, j = np.indices((150, 200))
-    src = ((i + j) % 2) * 100.0 + ((i * 37 + j * 91) % 1000) / 1000.0
+    src = _rm_src_array()  # single definition shared with the oracle gates
     dem_fn = demmod.dem_plane if args.dem == "plane" else demmod.dem_sinusoid
     transform = (
-        args.resolution, 0.0, 19900.0, 0.0, -args.resolution, 30080.0
+        args.resolution, 0.0, _RM_TRANSFORM[2],
+        0.0, -args.resolution, _RM_TRANSFORM[5],
     )
     tiles = tile_windows(spark, args.width, args.height)
     out = remap_tiles(tiles, model, src, transform, dem_fn, interp=args.interp)

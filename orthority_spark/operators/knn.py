@@ -53,6 +53,7 @@ def knn_kring(
     k: int = 3,
     ring: int = 8,
     max_broadcast_rows: int = 4_000_000,
+    n_index_cells: int | None = None,
 ) -> DataFrame:
     """Cell k-ring candidate join + window top-k (the 10^12-page plan).
 
@@ -64,8 +65,10 @@ def knn_kring(
     Size guard: the expansion is (2*ring+1)^2 rows per covering cell;
     when the estimate exceeds ``max_broadcast_rows`` (~100 MB of packed
     longs at the default), broadcasting it would stress the driver, so
-    the join degrades explicitly to a shuffle equi-join on the cell key
-    instead of failing mid-broadcast.
+    the explicit broadcast hint is withheld and Spark plans the cell
+    equi-join itself (shuffle-hash/SMJ for a genuinely large index).
+    Pass ``n_index_cells`` (e.g. from catalog stats) to avoid the
+    guard's one count() job over ``footprint_cells``.
     """
     # decode (res, ix, iy), wrap ix around the antimeridian (mod 2^res) and
     # drop out-of-range iy — mirrors grid.k_ring exactly, so neighborhoods
@@ -105,7 +108,9 @@ def knn_kring(
     # (filename, cell) and each page carries exactly one cell, so a
     # (url, filename) pair can appear at most once — a distinct here
     # would shuffle the full candidate set for nothing
-    est_rows = footprint_cells.count() * (2 * ring + 1) ** 2
+    if n_index_cells is None:
+        n_index_cells = footprint_cells.count()
+    est_rows = n_index_cells * (2 * ring + 1) ** 2
     if est_rows <= max_broadcast_rows:
         expanded = F.broadcast(expanded)
     else:
@@ -113,9 +118,10 @@ def knn_kring(
 
         warnings.warn(
             f"knn_kring: expanded cell index ~{est_rows} rows exceeds the "
-            f"broadcast guard ({max_broadcast_rows}); using a shuffle "
-            "equi-join on cell (raise max_broadcast_rows or lower ring "
-            "to restore the broadcast plan)",
+            f"broadcast guard ({max_broadcast_rows}); withholding the "
+            "broadcast hint and letting Spark plan the cell equi-join "
+            "(raise max_broadcast_rows or lower ring to force the "
+            "broadcast plan)",
             stacklevel=2,
         )
     cand = (

@@ -72,7 +72,10 @@ def dedup_stream(
 
 
 def minhash_bands_cols(
-    df: DataFrame, id_col: str = "url", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = "warc_ts",
 ) -> DataFrame:
     """Per-ROW MinHash banding (same arithmetic as the batch
     queries_text._band_sigs: distinct word-3-gram shingles -> 31-bit
@@ -111,9 +114,14 @@ def minhash_bands_cols(
             ),
         )
         .withColumn("hs", F.expr(f"transform(shs, s -> {h})"))
-        .selectExpr(id_col, "warc_ts", *sigs)
-        .selectExpr(id_col, "warc_ts", f"explode(array({bands})) AS bs")
-        .select(id_col, "warc_ts", "bs.band", "bs.band_sig")
+        .selectExpr(id_col, *([ts_col] if ts_col else []), *sigs)
+        .selectExpr(
+            id_col, *([ts_col] if ts_col else []),
+            f"explode(array({bands})) AS bs",
+        )
+        .select(
+            id_col, *([ts_col] if ts_col else []), "bs.band", "bs.band_sig"
+        )
     )
 
 

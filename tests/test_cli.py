@@ -138,13 +138,11 @@ def test_cli_ortho_cubic(cli_spark, tmp_path, capsys):
 
     from orthority_spark.geom.dem import dem_plane
     from orthority_spark.operators.remap import remap_oracle
+    from orthority_spark.queries_extra import _RM_TRANSFORM, _rm_src_array
     from orthority_spark.sources.footprints import fixture_models
 
-    i, j = np.indices((150, 200))
-    src = ((i + j) % 2) * 100.0 + ((i * 37 + j * 91) % 1000) / 1000.0
     oracle = remap_oracle(
-        fixture_models()["img_0000"], src,
-        (2.0, 0.0, 19900.0, 0.0, -2.0, 30080.0), 96, 80, dem_plane,
-        interp="cubic",
+        fixture_models()["img_0000"], _rm_src_array(), _RM_TRANSFORM,
+        96, 80, dem_plane, interp="cubic",
     )
     assert rep["valid_pixels"] == int(np.isfinite(oracle).sum())

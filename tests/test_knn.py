@@ -39,10 +39,10 @@ def test_kring_equals_bruteforce(spark, inputs):
     assert len(brute) > 0
 
 
-def test_kring_broadcast_guard_falls_back_to_shuffle_join(spark, inputs):
+def test_kring_broadcast_guard_withholds_hint(spark, inputs):
     """When the (2*ring+1)^2 expansion estimate exceeds the broadcast
-    guard, knn_kring must warn, switch to a shuffle equi-join, and return
-    identical results."""
+    guard, knn_kring must warn, withhold the explicit broadcast hint
+    (Spark plans the equi-join itself), and return identical results."""
     import warnings
 
     pages, cells, summary = inputs

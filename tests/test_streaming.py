@@ -288,19 +288,14 @@ def test_minhash_bands_cols_matches_batch_banding(spark):
     explode->partial-agg banding (queries_text._band_sigs) are different
     plans over different code paths — their (doc, band, band_sig) sets
     must be identical on the real documents table."""
-    from pyspark.sql import functions as F
-
     from orthority_spark.queries_text import _band_sigs
     from orthority_spark.streaming.pages_stream import minhash_bands_cols
 
     sf = "/root/testdata/sf0.01"
-    docs = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
-    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     got = {
         (r.doc_id, r.band, r.band_sig)
-        for r in minhash_bands_cols(docs, id_col="doc_id").collect()
+        for r in minhash_bands_cols(docs, id_col="doc_id", ts_col=None).collect()
     }
     exp = {
         (r.doc_id, r.band, r.band_sig)
