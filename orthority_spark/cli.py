@@ -235,6 +235,8 @@ def cmd_ortho(args) -> int:
     remap of a fixture camera over the analytic DEM, any of the four
     interpolations (cubic = the reference default), tile blocks written
     as parquet."""
+    from pyspark.sql import functions as F
+
     from .geom import dem as demmod
     from .operators.remap import remap_tiles, tile_windows
     from .pyfiles import ensure_on_executors
@@ -253,6 +255,24 @@ def cmd_ortho(args) -> int:
     )
     tiles = tile_windows(spark, args.width, args.height)
     out = remap_tiles(tiles, model, src, transform, dem_fn, interp=args.interp)
+    if args.resume:
+        # ledger'd per-tile rendering: a crashed/killed run re-renders
+        # ONLY the missing tiles on restart (anti-join against the
+        # ledger — the reference's single-writer loop has no analogue)
+        from .plans.ledger import LedgerJob
+
+        keyed = out.withColumn(
+            "tile_key",
+            F.col("row_off").cast("long") * 65536 + F.col("col_off"),
+        )
+        job = LedgerJob(spark, args.out, part_col="tile_key")
+        metrics = job.run(
+            keyed, F.xxhash64("tile_id", "block"),
+            max_partitions=args.max_tiles,
+        )
+        print(json.dumps({**metrics, "interp": args.interp}))
+        spark.stop()
+        return 0
     write_table(out, args.out, overwrite=args.overwrite)
     w = spark.read.parquet(args.out)
     n_tiles = w.count()  # metadata count, no recompute
@@ -342,6 +362,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resolution", type=float, default=2.0)
     p.add_argument("--out", required=True)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="ledger'd per-tile rendering with crash-resume")
+    p.add_argument("--max-tiles", type=int, default=None,
+                   help="with --resume: stop after N tiles (crash sim)")
     p.set_defaults(fn=cmd_ortho)
 
     p = sub.add_parser("exif-scan", help="parse EXIF tags from binary blobs")

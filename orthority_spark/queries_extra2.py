@@ -93,8 +93,83 @@ SELECT event_type, quantile_cont(value, 0.5) AS p50,
 FROM events GROUP BY event_type"""
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style dense rollup (time_bucket_gapfill + LOCF recast):
+    per event type, daily integer-cent sums densified over the type's
+    own [min_day, max_day] range; missing days are emitted with the
+    last-observed value carried forward and flagged.
+
+    100 TB shape: the sparse rollup is one partial-aggregated groupBy;
+    the generated day spine is per-type metadata (explode of a sequence,
+    never a data-sized join); LOCF is a single ordered window per type."""
+    from pyspark.sql import Window
+
+    from .queries_rel import _CENTS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.sum(F.expr(_CENTS.format(col="value"))).alias("s"))
+    )
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(b, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            # TIMESTAMP output: DATE maps to pandas object vs datetime64
+            # differently across the two engines' toPandas paths
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("s", ignorenulls=True).over(w).alias("sum_value_c"),
+            F.col("s").isNull().alias("gap_filled"),
+        )
+    )
+
+
+def o_events_gapfill() -> str:
+    from .queries_rel import _CENTS
+
+    cents = _CENTS.format(col="value")
+    return f"""
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM({cents}) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM b GROUP BY 1)
+), j AS (
+  SELECT r.event_type, r.day, b.s
+  FROM rng r LEFT JOIN b ON r.event_type = b.event_type AND r.day = b.day
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       LAST_VALUE(s IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING
+       ) AS sum_value_c,
+       s IS NULL AS gap_filled
+FROM j"""
+
+
 QUERIES = {
     "events_by_hour": (q_events_by_hour, o_events_by_hour),
+    "events_gapfill": (q_events_gapfill, o_events_gapfill),
     "json_extract_props": (q_json_extract_props, o_json_extract_props),
     "except_pages": (q_except_pages, o_except_pages),
     "value_percentiles": (q_value_percentiles, o_value_percentiles),

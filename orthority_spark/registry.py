@@ -98,6 +98,7 @@ DEMOTED = [
     "tf_idf",
     "stratified_sample",
     "contamination_check",
+    "events_gapfill",
 ]
 
 

@@ -146,3 +146,24 @@ def test_cli_ortho_cubic(cli_spark, tmp_path, capsys):
         96, 80, dem_plane, interp="cubic",
     )
     assert rep["valid_pixels"] == int(np.isfinite(oracle).sum())
+
+
+def test_cli_ortho_resume(cli_spark, tmp_path, capsys):
+    """--resume renders tiles through the ledger: a run capped at 2 tiles
+    plus a restart together render all 4, and the restart skips the
+    completed ones."""
+    out_dir = str(tmp_path / "ortho_resume")
+    base = [
+        "ortho", "--width", "96", "--height", "80", "--interp", "bilinear",
+        "--out", out_dir, "--resume",
+    ]
+    assert cli.main(base + ["--max-tiles", "2"]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli.main(base) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["partitions_processed"] == 2
+    assert rep2["partitions_processed"] == 2
+    from orthority_spark.plans.ledger import LedgerJob
+
+    job = LedgerJob(cli_spark, out_dir, part_col="tile_key")
+    assert job.completed_keys().count() == 4
