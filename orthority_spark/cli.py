@@ -246,7 +246,12 @@ def cmd_ortho(args) -> int:
 
     spark = _spark(args)
     ensure_on_executors(spark)
-    model = fp.fixture_models()[args.image]
+    if args.int_params and args.ext_params:
+        from .sources.factory import models_from_files
+
+        model = models_from_files(args.int_params, args.ext_params)[args.image]
+    else:
+        model = fp.fixture_models()[args.image]
     src = _rm_src_array()  # single definition shared with the oracle gates
     dem_fn = demmod.dem_plane if args.dem == "plane" else demmod.dem_sinusoid
     transform = (
@@ -352,6 +357,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("ortho", help="tiled distributed orthorectification remap")
     p.add_argument("--image", default="img_0000")
+    p.add_argument("--int-params", help="oty interior-parameter YAML")
+    p.add_argument("--ext-params", help="oty exterior CSV/GeoJSON")
     p.add_argument("--width", type=int, default=96)
     p.add_argument("--height", type=int, default=80)
     p.add_argument(

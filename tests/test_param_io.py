@@ -201,3 +201,52 @@ def test_csv_xyz_rpy_poses(tmp_path):
         p["opk"], rpy_to_opk((0.0, 0.0, np.pi / 2)), atol=1e-12
     )
     assert p["camera"] == "camA"
+
+
+def test_factory_models_from_files(tmp_path):
+    """FrameCameras factory analogue (reference factory.py:205-234): oty
+    interior YAML + exterior GeoJSON reassemble the fixture model —
+    identical pose and pixel projections; single-camera shortcut binds a
+    pose without a camera id; unknown id raises."""
+    import numpy as np
+
+    from orthority_spark.sources.factory import models_from_files
+    from orthority_spark.sources.footprints import fixture_models, world_to_lonlat
+    from orthority_spark.sources.param_io import (
+        write_ext_param_geojson,
+        write_int_param,
+    )
+
+    m = fixture_models()["img_0001"]  # brown distortion
+    yml = tmp_path / "int.yaml"
+    write_int_param(yml, {"cam-1": {
+        "type": m.cam_type, "im_size": list(m.im_size),
+        "focal_len": m.focal_len, "sensor_size": list(m.sensor_size),
+        "cx": m.cx, "cy": m.cy, **{k: float(v) for k, v in m.dist.items()},
+    }})
+    lon, lat = world_to_lonlat(m.xyz[0], m.xyz[1])
+    gj = tmp_path / "ext.geojson"
+    write_ext_param_geojson(gj, [{
+        "filename": "img_0001", "lon": float(lon), "lat": float(lat),
+        "z": m.xyz[2],
+        "omega": float(np.degrees(m.opk[0])),
+        "phi": float(np.degrees(m.opk[1])),
+        "kappa": float(np.degrees(m.opk[2])),
+    }])
+    got = models_from_files(yml, gj)["img_0001"]
+    np.testing.assert_allclose(got.xyz, m.xyz, atol=1e-9)
+    np.testing.assert_allclose(got.opk, m.opk, atol=1e-12)
+    pts = np.array([[20000.0, 20050.0], [30000.0, 29950.0], [825.0, 830.0]])
+    np.testing.assert_allclose(
+        got.world_to_pixel(pts), m.world_to_pixel(pts), atol=1e-9
+    )
+
+    from orthority_spark.sources.factory import models_from_params
+
+    # unknown camera id errors
+    with pytest.raises(ParamFileError):
+        models_from_params(
+            {"cam-1": {"type": "pinhole", "im_size": [10, 10], "focal_len": 5.0}},
+            [{"filename": "f", "xyz": (0, 0, 100), "opk": (0, 0, 0),
+              "camera": "nope"}],
+        )
