@@ -698,6 +698,48 @@ WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM ev)
 GROUP BY doc_id"""
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup, oracle-checked: the documents table read as
+    an availableNow file stream, deduplicated on md5(text) with streaming
+    state, drained to a memory sink. The kept doc_ids depend on arrival
+    order, but the kept HASH SET is exactly the distinct texts — an
+    order-independent, engine-checkable contract for the streaming path
+    (SURVEY §2.8). Watermark-free dropDuplicates is correct for a
+    bounded drain; the continuous-ingest variant with bounded state is
+    streaming/pages_stream.dedup_stream (watermark eviction, pytest)."""
+    import tempfile
+    import uuid
+
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        # the streaming file source needs a DIRECTORY; select the one
+        # table out of the shared sf_dir with a glob filter
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("text_hash", F.md5(F.col("text")))
+        .dropDuplicates(["text_hash"])
+        .select("text_hash")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def o_stream_dedup() -> str:
+    return "SELECT DISTINCT md5(text) AS text_hash FROM documents"
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, o_dedup_exact),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
@@ -714,4 +756,5 @@ QUERIES = {
     "tf_idf": (q_tf_idf, o_tf_idf),
     "stratified_sample": (q_stratified_sample, o_stratified_sample),
     "contamination_check": (q_contamination_check, o_contamination_check),
+    "stream_dedup": (q_stream_dedup, o_stream_dedup),
 }

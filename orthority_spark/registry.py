@@ -73,7 +73,7 @@ PRIORITY = [
     "anti_join_unmatched",
     "rollup_pricing",
     "distinct_customers",
-    "overlap_pages",
+    "stream_dedup",
     "events_by_hour",
     "json_extract_props",
     "except_pages",
@@ -99,6 +99,9 @@ DEMOTED = [
     "stratified_sample",
     "contamination_check",
     "events_gapfill",
+    # INTERSECT twin: the set-ops family keeps except_pages recorded;
+    # its slot went to stream_dedup (the only streaming-path gate)
+    "overlap_pages",
 ]
 
 
