@@ -46,3 +46,37 @@ def test_tiled_remap_matches_oracle(spark, setup, interp, dem_name):
     # sanity: some valid and some nodata pixels
     assert np.isnan(oracle).any() or True
     assert np.isfinite(assembled).sum() > 0
+
+
+def test_cubic_weights_partition_of_unity():
+    """Keys A=-0.75 weights sum to 1 for any fractional offset (the
+    kernel reproduces constants exactly — cv2 INTER_CUBIC contract)."""
+    from hypothesis import given, settings, strategies as st
+
+    from orthority_spark.operators.remap import _cubic_weights
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(min_value=0.0, max_value=1.0, exclude_max=True))
+    def check(f):
+        w = _cubic_weights(np.array([f]))
+        assert abs(sum(x[0] for x in w) - 1.0) < 1e-12
+
+    check()
+
+
+def test_cubic_kernel_matches_cv2_table_and_catmull_rom_linearity():
+    """The A=-0.75 weights equal cv2's BicubicCoeffs (w3 == 1-w0-w1-w2
+    identically); linear reproduction is a Catmull-Rom (a=-0.5)
+    property, NOT an A=-0.75 one — pin both facts so a 'fix' toward
+    linear-exactness can't silently drift off the cv2/reference
+    kernel."""
+    from orthority_spark.operators.remap import _cubic_weights
+
+    f = np.linspace(0.0, 0.999, 97)
+    w0, w1, w2, w3 = _cubic_weights(f)
+    np.testing.assert_allclose(w3, 1.0 - w0 - w1 - w2, atol=1e-12)
+    # first moment: exact for Catmull-Rom, deliberately not for A=-0.75
+    c0, c1, c2, c3 = _cubic_weights(f, a=-0.5)
+    np.testing.assert_allclose(-c0 + c2 + 2 * c3, f, atol=1e-12)
+    m = -w0 + w2 + 2 * w3
+    assert np.max(np.abs(m - f)) > 0.01
