@@ -17,11 +17,16 @@ Protocol (BASELINE.md):
 4. Per-tile checksum parity across all levels (bit-identical required).
 5. Representative driver-gate queries timed at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line; also rewrites BENCH/BASELINE.md.
+Prints ONE compact headline JSON line LAST (the driver tails only the
+final ~2000 bytes of stdout, so the headline must fit; round 3 lost its
+machine-readable metric to an oversized line). Full detail — per-round
+arrays, skew rounds, fixed-latency probes — goes to BENCH/r{N}_full.json
+and BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import hashlib
 import json
 import os
@@ -49,8 +54,11 @@ PAGES_PARQUET = os.environ.get("BENCH_PAGES_DIR", "/tmp/bench_pages_parquet8")
 LEVELS = [2, 8, CPUS]
 # rounds per level, interleaved round-robin so drifting host noise lands
 # on every level evenly; both the min and the median estimator are
-# reported (one noisy window must not flip the scaling claim)
-ROUNDS = {2: 4, 8: 5, CPUS: 4}
+# reported (one noisy window must not flip the scaling claim). The 2/8
+# levels get extra rounds: the 2->8 raw efficiency is the north-rule
+# number and the min estimator needs enough draws to find an uncontended
+# window on this drifting VM (r3 recorded 0.731 raw off 4/5 rounds).
+ROUNDS = {2: 7, 8: 8, CPUS: 4}
 
 BENCH_QUERIES = [
     "pip_join",
@@ -98,8 +106,12 @@ def materialize_pages() -> None:
         return
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen",
                       shuffle_partitions=CPUS * 2)
-    if not (_have("") and _have("_small")):
-        for suf in ("", "_small"):
+    base_rebuilt = not (_have("") and _have("_small"))
+    if base_rebuilt:
+        # a rebuilt base invalidates the derived _cells/_cells_skew
+        # projections too — a skew probe over projections of the OLD base
+        # would silently measure stale data
+        for suf in ("", "_small", "_cells", "_cells_skew"):
             shutil.rmtree(PAGES_PARQUET + suf, ignore_errors=True)
         synthetic_pages(spark, N_PAGES, num_partitions=CPUS * 4).write.mode(
             "overwrite"
@@ -398,7 +410,51 @@ def main() -> None:
         "n_tiles": len(tiles[LEVELS[0]]),
     }
     _write_baseline_md(result)
-    print(json.dumps(result))
+    full_path = _write_full_json(result)
+    # The driver captures only the final ~2000 bytes of stdout: the LAST
+    # line must be a compact headline (round 3's full dump overflowed and
+    # recorded parsed:null). Full detail lives at full_path.
+    headline = {
+        "metric": "tile-join pipeline steady-state wall sec at local[%d], %d pages"
+        % (CPUS, N_PAGES),
+        "value": round(steady[CPUS], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in q_times.items()},
+        "sf": float(sf),
+        "pages_per_sec_32": round(thr[CPUS]),
+        "eff_2_8_raw": round(eff_2_8, 3),
+        "eff_2_8_median": round(eff_2_8_med, 3),
+        "eff_2_8_marginal": round(eff_2_8_marginal, 3),
+        "eff_8_%d_raw" % CPUS: round(eff_8_n, 3),
+        "hw_md5_eff_8_to_32": hw["hw_md5_eff_8_to_32"],
+        "salting_speedup": round(noaqe_steady / salted_steady, 3),
+        "checksum_parity": parity and skew_parity,
+        "detail": full_path,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # defensive: never let the headline overflow again
+        headline["queries"] = {
+            k: headline["queries"][k] for k in BENCH_QUERIES[:12]
+        }
+        headline["queries_truncated"] = True
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
+
+
+def _write_full_json(result: dict) -> str:
+    """Archive the full result (per-round arrays etc.) under BENCH/,
+    named by round number inferred from the driver's BENCH_r*.json
+    archives (overridable via BENCH_ROUND)."""
+    os.makedirs("BENCH", exist_ok=True)
+    rnd = os.environ.get(
+        "BENCH_ROUND",
+        str(len(_glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json"))) + 1),
+    )
+    path = f"BENCH/r{rnd}_full.json"
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    return path
 
 
 def _write_baseline_md(r: dict) -> None:
@@ -494,7 +550,35 @@ as the reference-pattern comparator:
 """
             + "\n".join(f"| {k} | {v} |" for k, v in r["queries"].items())
             + "\n"
+            + _sf1_section()
         )
+
+
+def _sf1_section() -> str:
+    """Embed the sf1 (10x) heavy-gate recording if scripts/bench_sf1.py
+    has produced one — same interleaved min-of-rounds methodology."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "sf1.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        s = json.load(f)
+    rows = "\n".join(
+        f"| {n} | {q['min']} | {q['rounds']} | {q['rows']} |"
+        for n, q in s["queries"].items()
+    )
+    return f"""
+## sf1 (10x sf0.1) heavy gates — scripts/bench_sf1.py
+
+Synthetic 10x-shaped tables ({s['n_docs']} documents, {s['n_vecs']}x64
+embeddings, {s['n_orders']} orders; deterministic hash-arithmetic
+generators, schemas identical to the driver tables), local[{s['cpus']}],
+interleaved rounds, min estimator:
+
+| query | min s | all rounds s | result rows |
+|---|---|---|---|
+{rows}
+"""
 
 
 if __name__ == "__main__":

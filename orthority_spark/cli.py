@@ -266,9 +266,13 @@ def cmd_ortho(args) -> int:
         # ledger — the reference's single-writer loop has no analogue)
         from .plans.ledger import LedgerJob
 
+        # the packing multiplier must exceed every possible col_off, or
+        # distinct tiles collide to one ledger key and resume skips
+        # unrendered tiles; next power of two >= width (floor 65536)
+        mult = max(65536, 1 << (args.width - 1).bit_length())
         keyed = out.withColumn(
             "tile_key",
-            F.col("row_off").cast("long") * 65536 + F.col("col_off"),
+            F.col("row_off").cast("long") * mult + F.col("col_off"),
         )
         job = LedgerJob(spark, args.out, part_col="tile_key")
         metrics = job.run(

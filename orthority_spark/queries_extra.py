@@ -637,8 +637,12 @@ WHERE NOT EXISTS (
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing over a binary column (stubbed codec,
-    deterministic features; exact oracle pytest-held)."""
+    """Multimodal decode plumbing over a binary column (stubbed codec).
+    The gate deliberately runs the REAL mapInPandas Arrow-batch decode
+    path; the stub's integer metadata (width/height/channels from the
+    payload's md5 bytes) is an exact SQL contract, so the distributed
+    plumbing is oracle-gated end to end like the audio twin. The float
+    features stay pytest-held (tests/test_multimodal.py)."""
     from .multimodal.binary import image_decode
     from .queries_geo import derived_pages
 
@@ -648,6 +652,24 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_decode(pages, fake=True).select(
         "url", "width", "height", "n_channels"
     )
+
+
+def o_image_features() -> str:
+    # md5 digest bytes k as int: ('0x' || hex chars 2k+1..2k+2)::BIGINT;
+    # DuckDB md5() hashes the UTF-8 bytes — identical to the stub's
+    # hashlib.md5(text.encode()) (_fake_decode: 64+d[0], 64+d[1], 1+d[2]%4)
+    from .sources.pages import derived_pages_sql
+
+    spec = derived_pages_sql("o_orderkey", "duckdb")
+    return f"""
+WITH pages AS (
+  SELECT {spec['url']} AS url, {spec['text']} AS text FROM orders
+)
+SELECT url,
+       CAST(64 + ('0x' || substr(md5(text), 1, 2))::BIGINT AS INTEGER) AS width,
+       CAST(64 + ('0x' || substr(md5(text), 3, 2))::BIGINT AS INTEGER) AS height,
+       CAST(1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 4 AS INTEGER) AS n_channels
+FROM pages"""
 
 
 def q_dem_z_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,7 +989,7 @@ QUERIES = {
     "undistort_pixels": (q_undistort_pixels, o_undistort_pixels),
     "remap_checksums": (q_remap_checksums, None),
     "ray_dem_footprints": (q_ray_dem_footprints, o_ray_dem_footprints),
-    "image_features": (q_image_features, None),
+    "image_features": (q_image_features, o_image_features),
     "pan_sharpen_stats": (q_pan_sharpen_stats, o_pan_sharpen_stats),
     "pan_sharpen_rows": (q_pan_sharpen_rows, o_pan_sharpen_rows),
     "fit_exterior": (q_fit_exterior, o_fit_exterior),

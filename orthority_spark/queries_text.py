@@ -707,6 +707,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.8). Watermark-free dropDuplicates is correct for a
     bounded drain; the continuous-ingest variant with bounded state is
     streaming/pages_stream.dedup_stream (watermark eviction, pytest)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -724,15 +725,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["text_hash"])
         .select("text_hash")
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sd_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="sd_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the availableNow drain is complete after awaitTermination and
+        # the memory sink holds the result; repeated gate/bench runs must
+        # not accumulate sd_ckpt_* dirs in /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 
 

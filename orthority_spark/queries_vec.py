@@ -180,66 +180,149 @@ dots AS (
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_TAU}"""
 
 
-def _with_bucket(qz: DataFrame) -> DataFrame:
-    d1 = (
-        "aggregate(zip_with(qe, sequence(1, size(qe)), "
-        "(v, i) -> CASE WHEN (i - 1) % 2 = 0 THEN v ELSE -v END), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    d2 = (
-        "aggregate(zip_with(qe, sequence(1, size(qe)), "
-        "(v, i) -> CASE WHEN (i - 1) % 3 = 0 THEN v ELSE -v END), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    return qz.withColumn(
-        "bucket",
-        (
-            F.when(F.expr(d1) > 0, F.lit(2)).otherwise(F.lit(0))
-            + F.when(F.expr(d2) > 0, F.lit(1)).otherwise(F.lit(0))
-        ).cast("int"),
+# --- banded sign-LSH with DATA-DRIVEN bucket cardinality -----------------
+# B fixed bands x r bits/band; r grows with corpus size so per-band bucket
+# occupancy stays bounded (~TARGET_OCC) and the within-bucket self-join
+# never degrades to N^2/constant: cost ~ B * sum(occ^2) ~ B * N * occ.
+# Candidates = union over bands (OR construction keeps recall as r grows).
+# The +/-1 hyperplanes come from md5 over "(plane):(1-based dim)" — a
+# deterministic sign matrix both engines reproduce exactly (hashlib
+# constants inlined Spark-side, SQL md5 DuckDB-side).
+LSH_BANDS = 4
+LSH_TARGET_OCC = 32
+LSH_RMIN, LSH_RMAX = 2, 16
+
+
+def lsh_r_bits(n: int) -> int:
+    """Bits per band for corpus size n: bit_length(ceil(n / TARGET_OCC)),
+    clamped — per-band bucket count 2^r tracks n / TARGET_OCC."""
+    m = (n + LSH_TARGET_OCC - 1) // LSH_TARGET_OCC
+    return min(LSH_RMAX, max(LSH_RMIN, m.bit_length()))
+
+
+def _lsh_sign(j: int, i: int) -> int:
+    """+/-1 for plane j, 1-based dim i — ASCII parity of the first hex
+    char of md5('j:i') (DuckDB twin: ascii(substr(md5(..),1,1)) % 2)."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+    return 1 if ord(h[0]) % 2 == 0 else -1
+
+
+def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
+    """vec_id/qe/nn replicated into LSH_BANDS rows of (band, key): key =
+    sum over the band's r planes of (d_j > 0) << bit. Entirely map-side
+    codegen'd expressions against inlined sign constants — no shuffle."""
+    band_structs = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for t in range(r):
+            j = b * r + t
+            signs = ", ".join(str(_lsh_sign(j, i)) for i in range(1, dim + 1))
+            d = (
+                f"aggregate(zip_with(qe, array({signs}), (v, s) -> v * s), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            bits.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << t} AS BIGINT) "
+                        "ELSE CAST(0 AS BIGINT) END)")
+        band_structs.append(
+            f"struct({b} AS band, ({' + '.join(bits)}) AS key)"
+        )
+    return qz.select(
+        "vec_id", "qe", "nn",
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bk"),
+    ).select(
+        "vec_id", "qe", "nn",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
 
 
 def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dups restricted to shared sign-LSH buckets — the
-    scale path: pairwise cosine only WITHIN buckets (an equi-join on the
-    map-side bucket id), never all-pairs. Pairs straddling a bucket
-    boundary are missed by design; recall vs the all-pairs scan is a
-    pytest contract (tests/test_ann.py)."""
-    qz = _with_bucket(_quantized(spark, sf_dir))
-    a, b = qz.alias("a"), qz.alias("b")
+    """Embedding near-dups restricted to shared banded-LSH buckets — the
+    scale path: pairwise cosine only WITHIN (band, key) groups (an
+    equi-join on the map-side band keys), never all-pairs, with bucket
+    cardinality derived from the corpus size (2^r per band tracks
+    N / TARGET_OCC, so occupancy — and the within-bucket self-join — is
+    bounded at any scale). Pairs in no shared band bucket are missed by
+    design; recall vs the all-pairs scan and the occupancy bound are
+    pytest contracts (tests/test_ann.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
+    ).first()
+    r = lsh_r_bits(stats.n)
+    bk = _band_keys_df(_quantized(spark, sf_dir), r, stats.d)
+    a, b = bk.alias("a"), bk.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "key"])
         .where(F.expr("a.vec_id < b.vec_id"))
-        .withColumn("dot", F.expr(_DOT))
-        .withColumn(
-            "cosine",
-            F.col("dot")
-            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
-        )
-        .where(F.col("cosine") >= NEARDUP_TAU)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            "cosine",
+            F.col("a.qe").alias("aqe"), F.col("b.qe").alias("bqe"),
+            F.col("a.nn").alias("ann"), F.col("b.nn").alias("bnn"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("dot", F.expr(
+            "aggregate(zip_with(aqe, bqe, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ))
+        .withColumn(
+            "cosine",
+            F.col("dot")
+            / (F.sqrt(F.col("ann").cast("double")) * F.sqrt(F.col("bnn").cast("double"))),
+        )
+        .where(F.col("cosine") >= NEARDUP_TAU)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
 def o_embedding_neardups_bucketed() -> str:
+    # bit_length(m) as a CASE chain (m = ceil(COUNT(*) / TARGET_OCC)),
+    # clamped to [RMIN, RMAX] — the exact integer twin of lsh_r_bits()
+    bitlen = " ".join(
+        f"WHEN m >= {1 << (k - 1)} THEN {k}" for k in range(LSH_RMAX, 0, -1)
+    )
     return f"""
 WITH {_DUCK_UNNEST},
+nh AS (
+  SELECT CAST(LEAST({LSH_RMAX}, GREATEST({LSH_RMIN},
+         CASE {bitlen} ELSE 1 END)) AS INT) AS r
+  FROM (SELECT (COUNT(*) + {LSH_TARGET_OCC - 1}) // {LSH_TARGET_OCC} AS m
+        FROM embeddings)
+),
+planes AS (
+  SELECT CAST(p.j AS INT) AS j FROM range(0, {LSH_BANDS * LSH_RMAX}) p(j), nh
+  WHERE p.j < {LSH_BANDS} * r
+),
+signs AS (
+  SELECT j, d.i,
+         CASE WHEN ascii(substr(md5(CAST(j AS VARCHAR) || ':'
+              || CAST(d.i AS VARCHAR)), 1, 1)) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM planes, (SELECT DISTINCT i FROM u) d
+),
 proj AS (
-  SELECT vec_id, SUM({_H1}) AS d1, SUM({_H2}) AS d2 FROM u GROUP BY vec_id
-), bk AS (
-  SELECT vec_id, (CASE WHEN d1 > 0 THEN 2 ELSE 0 END)
-               + (CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS bucket
-  FROM proj
-), dots AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
-  JOIN bk ba ON ba.vec_id = a.vec_id
-  JOIN bk bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  SELECT u.vec_id, s.j, SUM(u.v * s.s) AS d
+  FROM u JOIN signs s ON u.i = s.i
+  GROUP BY u.vec_id, s.j
+),
+bands AS (
+  SELECT vec_id, CAST(j // r AS INT) AS band,
+         SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << (j % r)
+                  ELSE CAST(0 AS BIGINT) END) AS key
+  FROM proj, nh
+  GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT cand.vec_a, cand.vec_b, SUM(a.v * b.v) AS dot
+  FROM cand JOIN u a ON a.vec_id = cand.vec_a
+            JOIN u b ON b.vec_id = cand.vec_b AND b.i = a.i
   GROUP BY 1, 2
 ), scored AS (
   SELECT vec_a, vec_b,

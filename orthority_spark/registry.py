@@ -60,9 +60,15 @@ PRIORITY = [
     "ann_topk",
     "ann_ivf",
     "embedding_neardups_bucketed",
-    # -- multimodal --
+    # -- multimodal (image_features oracle-gated since r4; audio twin
+    #    demoted — same mapInPandas decode family) --
     "image_features",
-    "audio_features",
+    # -- LLM-training-data pipeline (r3 additions, recorded since r4:
+    #    relevance ranking, corpus mixing, decontamination, gap-fill) --
+    "tf_idf",
+    "stratified_sample",
+    "contamination_check",
+    "events_gapfill",
     # -- relational / windows / set ops --
     "pricing_summary",
     "revenue_by_nation",
@@ -72,10 +78,7 @@ PRIORITY = [
     "sessionize",
     "anti_join_unmatched",
     "rollup_pricing",
-    "distinct_customers",
     "stream_dedup",
-    "events_by_hour",
-    "json_extract_props",
     "except_pages",
     "value_percentiles",
 ]
@@ -93,15 +96,16 @@ DEMOTED = [
     "label_centroid_norms",  # array-agg family covered by ann_topk/covar
     "semi_join_active",      # semi-join also exercised in jaccard LSH path
     "remap_checksums",       # RNG twin; remap_pixels gates per-pixel
-    # new-family ops added after the cap filled: full oracle parity in
-    # tests, candidates to swap into PRIORITY next round
-    "tf_idf",
-    "stratified_sample",
-    "contamination_check",
-    "events_gapfill",
     # INTERSECT twin: the set-ops family keeps except_pages recorded;
     # its slot went to stream_dedup (the only streaming-path gate)
     "overlap_pages",
+    # r4 swap-outs (VERDICT r3 #4): slots freed for the four new
+    # training-data families above; every one keeps full DuckDB parity
+    # in tests/test_oracle_parity.py and a recorded family representative
+    "audio_features",        # mapInPandas decode twin of image_features
+    "json_extract_props",    # scalar built-in; §2.7 gated by text_stats et al
+    "distinct_customers",    # distinct built-in; dedup_exact gates the family
+    "events_by_hour",        # date-time built-in; events_gapfill/sessionize gate
 ]
 
 

@@ -89,5 +89,16 @@ def models_from_files(
             r.setdefault("latitude", r.pop("lat", None))
             r.setdefault("longitude", r.pop("lon", None))
             r.setdefault("altitude", r.pop("z", None))
+            missing = [
+                k for k in ("latitude", "longitude", "altitude")
+                if r.get(k) is None
+            ]
+            if missing:
+                # fail with the module's contract (not a later TypeError
+                # in float(None)) and name the offending record
+                raise ParamFileError(
+                    f"{r.get('filename', '<unknown>')}: GeoJSON exterior "
+                    f"record missing {', '.join(missing)}"
+                )
         poses = ext_records_to_poses(records, "lla_opk")
     return models_from_params(int_params, poses)

@@ -103,11 +103,19 @@ def footprint_records(res: int = config.GRID_RES) -> dict:
 
 
 def records_for_models(
-    models: dict, res: int = config.GRID_RES, z: float = DEM_OFFSET
+    models: dict, res: int = config.GRID_RES, z: float = DEM_OFFSET,
+    ztrans=None,
 ) -> dict:
     """Catalog records for ARBITRARY frame models — e.g. cameras built
     from an EXIF scan or a CSV pose file — in the same edges/cells/
-    summary shape every join strategy consumes."""
+    summary shape every join strategy consumes.
+
+    ``ztrans``: optional :class:`orthority_spark.geom.vdatum.ZTransform`
+    when ``z`` is a vertical-datum height rather than world z (the
+    reference's per-job z_scale probe, ortho.py:144-151) — applied ONCE
+    here on the driver; the broadcast catalog downstream is unchanged."""
+    if ztrans is not None:
+        z = ztrans.to_world(z)
     polys = {name: world_footprint(m, z) for name, m in models.items()}
     edges, cells, summary = [], [], []
     for name, poly in polys.items():
