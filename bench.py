@@ -414,31 +414,42 @@ def main() -> None:
     # The driver captures only the final ~2000 bytes of stdout: the LAST
     # line must be a compact headline (round 3's full dump overflowed and
     # recorded parsed:null). Full detail lives at full_path.
+    print(headline_line(result, full_path))
+
+
+def headline_line(result: dict, full_path: str) -> str:
+    """The compact final-stdout-line JSON built from the full result;
+    guaranteed < 1900 bytes (tests/test_bench_headline.py holds the
+    bound for the current BENCH_QUERIES list)."""
     headline = {
         "metric": "tile-join pipeline steady-state wall sec at local[%d], %d pages"
-        % (CPUS, N_PAGES),
-        "value": round(steady[CPUS], 3),
+        % (CPUS, result["n_pages"]),
+        "value": result["value"],
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in q_times.items()},
-        "sf": float(sf),
-        "pages_per_sec_32": round(thr[CPUS]),
-        "eff_2_8_raw": round(eff_2_8, 3),
-        "eff_2_8_median": round(eff_2_8_med, 3),
-        "eff_2_8_marginal": round(eff_2_8_marginal, 3),
-        "eff_8_%d_raw" % CPUS: round(eff_8_n, 3),
-        "hw_md5_eff_8_to_32": hw["hw_md5_eff_8_to_32"],
-        "salting_speedup": round(noaqe_steady / salted_steady, 3),
-        "checksum_parity": parity and skew_parity,
+        "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+        "sf": result["sf"],
+        "pages_per_sec_%d" % CPUS: result["pages_per_sec"][str(CPUS)],
+        "eff_2_8_raw": result["scaling_efficiency_2_to_8"],
+        "eff_2_8_median": result["scaling_efficiency_2_to_8_median"],
+        "eff_2_8_marginal": result["scaling_efficiency_2_to_8_marginal"],
+        "eff_8_%d_raw" % CPUS: result["scaling_efficiency_8_to_%d" % CPUS],
+        "hw_md5_eff_8_to_32": result["hw_md5_eff_8_to_32"],
+        "salting_speedup": result["salting_speedup_vs_hot_key_no_aqe"],
+        "checksum_parity": bool(
+            result["checksum_parity_all_levels"]
+            and result["skew_probe_checksum_parity"]
+        ),
         "detail": full_path,
     }
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # defensive: never let the headline overflow again
         headline["queries"] = {
-            k: headline["queries"][k] for k in BENCH_QUERIES[:12]
+            k: headline["queries"][k]
+            for k in list(headline["queries"])[:12]
         }
         headline["queries_truncated"] = True
         line = json.dumps(headline, separators=(",", ":"))
-    print(line)
+    return line
 
 
 def _write_full_json(result: dict) -> str:

@@ -253,27 +253,27 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     r = lsh_r_bits(stats.n)
     bk = _band_keys_df(_quantized(spark, sf_dir), r, stats.d)
     a, b = bk.alias("a"), bk.alias("b")
+    # score and tau-filter BEFORE the cross-band dedup: a pair seen in k
+    # bands computes its (deterministic) cosine k <= B times map-side,
+    # but the dedup exchange then carries only tau-passing 24-byte pairs
+    # instead of two 64-element qe arrays per candidate — at corpus scale
+    # the shuffle, not the redundant arithmetic, is the cost
     return (
         a.join(b, ["band", "key"])
         .where(F.expr("a.vec_id < b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.qe").alias("aqe"), F.col("b.qe").alias("bqe"),
-            F.col("a.nn").alias("ann"), F.col("b.nn").alias("bnn"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("dot", F.expr(
-            "aggregate(zip_with(aqe, bqe, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ))
+        .withColumn("dot", F.expr(_DOT))
         .withColumn(
             "cosine",
             F.col("dot")
-            / (F.sqrt(F.col("ann").cast("double")) * F.sqrt(F.col("bnn").cast("double"))),
+            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
         )
         .where(F.col("cosine") >= NEARDUP_TAU)
-        .select("vec_a", "vec_b", "cosine")
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -70,12 +70,16 @@ def materialize(spark) -> None:
             "k", F.expr("CASE WHEN id % 100 = 99 THEN id - 50 ELSE id END")
         )
         .withColumn("n_words", F.expr("CAST(10 + (k * 2654435761) % 51 AS INT)"))
+        # word choice must be pseudo-random per (doc, position): a linear
+        # pattern like (k*A + j*B) % V collapses the corpus into V
+        # near-identical text families (every doc an arithmetic walk of
+        # the same cycle) and near-dup candidate counts explode to ~N^2/V
         .withColumn(
             "text",
             F.expr(
                 f"concat_ws(' ', transform(sequence(1, n_words), "
                 f"j -> element_at(array({vocab}), "
-                f"CAST(1 + (k * 40503 + j * 10067) % {len(_VOCAB)} AS INT))))"
+                f"CAST(1 + pmod(hash(k, j), {len(_VOCAB)}) AS INT))))"
             ),
         )
         .select(
