@@ -279,13 +279,18 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = _shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    # one shingle pass, cached: the explode subtree otherwise re-executes
+    # for each of counts/a2/b2 (3x the document scan + regex); counts is
+    # computed over candidate docs ONLY — na/nb are identical for every
+    # pair that reaches the final join, and the agg input shrinks from
+    # the corpus to the candidate set
+    shc = sh.join(cand_ids, "doc_id", "left_semi").persist()
+    counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a2 = shc.select(F.col("doc_id").alias("doc_a"), "sh")
     b2 = shc.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
