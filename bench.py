@@ -47,6 +47,7 @@ from orthority_spark.session import get_spark  # noqa: E402
 from orthority_spark.sources import footprints as fp  # noqa: E402
 from orthority_spark.sources.pages import synthetic_pages  # noqa: E402
 
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_N_PAGES", "8000000"))
@@ -58,7 +59,9 @@ LEVELS = [2, 8, CPUS]
 # levels get extra rounds: the 2->8 raw efficiency is the north-rule
 # number and the min estimator needs enough draws to find an uncontended
 # window on this drifting VM (r3 recorded 0.731 raw off 4/5 rounds).
-ROUNDS = {2: 7, 8: 8, CPUS: 4}
+# The 2 and 8 levels get the SAME draw count: min over more draws is
+# stochastically lower, so unequal draws would bias the 2->8 ratio.
+ROUNDS = {2: 7, 8: 7, CPUS: 4}
 
 BENCH_QUERIES = [
     "pip_join",
@@ -79,6 +82,8 @@ BENCH_QUERIES = [
     "simhash",
     "tf_idf",
     "stratified_sample",
+    "contamination_check",
+    "events_gapfill",
     "ann_topk",
     "embedding_neardups_bucketed",
     "remap_pixels_cubic",
@@ -298,6 +303,10 @@ def run_queries(cores: int) -> dict[str, float]:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
+        # gates that persist() intermediates (LSH shingles/band sigs)
+        # must not leave a warm cache that flatters the NEXT query's
+        # timing or pressures executor storage for the rest of the run
+        spark.catalog.clearCache()
     spark.stop()
     return out
 
@@ -362,8 +371,15 @@ def main() -> None:
     # marginal (data-proportional) efficiency: subtract each level's own
     # measured fixed latency (near-empty identical plan)
     marg = {c: steady[c] - overhead[c] for c in LEVELS}
-    eff_2_8_marginal = marg[2] / (4 * marg[8]) if marg[8] > 0 else None
-    eff_8_n_marginal = marg[8] / ((CPUS / 8) * marg[CPUS]) if marg[CPUS] > 0 else None
+    # guard value must survive round() at assembly: use nan, not None
+    # (a pathological window where the near-empty probe >= the steady
+    # run would otherwise crash the whole recording at the finish line)
+    eff_2_8_marginal = (
+        marg[2] / (4 * marg[8]) if marg[8] > 0 else float("nan")
+    )
+    eff_8_n_marginal = (
+        marg[8] / ((CPUS / 8) * marg[CPUS]) if marg[CPUS] > 0 else float("nan")
+    )
     parity = all(tiles[c] == tiles[LEVELS[0]] for c in LEVELS)
     hw = hw_calibration()
     q_times = run_queries(CPUS)
@@ -442,10 +458,15 @@ def headline_line(result: dict, full_path: str) -> str:
         "detail": full_path,
     }
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:  # defensive: never let the headline overflow again
+    # enforce the bound for real: shrink the queries dict until the line
+    # fits, re-measuring each time (a single fixed truncation could still
+    # overflow on long names — the exact round-3 failure mode)
+    n_keep = len(headline["queries"])
+    while len(line) > 1900 and n_keep > 0:
+        n_keep = min(n_keep - 1, n_keep * 3 // 4)
         headline["queries"] = {
             k: headline["queries"][k]
-            for k in list(headline["queries"])[:12]
+            for k in list(headline["queries"])[:n_keep]
         }
         headline["queries_truncated"] = True
         line = json.dumps(headline, separators=(",", ":"))
@@ -453,23 +474,22 @@ def headline_line(result: dict, full_path: str) -> str:
 
 
 def _write_full_json(result: dict) -> str:
-    """Archive the full result (per-round arrays etc.) under BENCH/,
-    named by round number inferred from the driver's BENCH_r*.json
-    archives (overridable via BENCH_ROUND)."""
-    os.makedirs("BENCH", exist_ok=True)
+    """Archive the full result (per-round arrays etc.) under the REPO's
+    BENCH/ (cwd-independent), named by round number inferred from the
+    driver's BENCH_r*.json archives (overridable via BENCH_ROUND)."""
+    os.makedirs(os.path.join(REPO_DIR, "BENCH"), exist_ok=True)
     rnd = os.environ.get(
         "BENCH_ROUND",
-        str(len(_glob.glob(os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "BENCH_r*.json"))) + 1),
+        str(len(_glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))) + 1),
     )
-    path = f"BENCH/r{rnd}_full.json"
-    with open(path, "w") as f:
+    rel = f"BENCH/r{rnd}_full.json"
+    with open(os.path.join(REPO_DIR, rel), "w") as f:
         json.dump(result, f, indent=1)
-    return path
+    return rel
 
 
 def _write_baseline_md(r: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(os.path.join(REPO_DIR, "BENCH"), exist_ok=True)
     level_rows = "\n".join(
         f"| local[{c}] | {r['pipeline_cold_sec'][c]} | "
         f"{r['pipeline_steady_sec'][c]} | {r['pipeline_median_sec'][c]} | "
@@ -500,7 +520,7 @@ def _write_baseline_md(r: dict) -> None:
             f"(best view {best28}) — host noise on this shared VM is the "
             f"suspected cause (see the per-round spread), not claimed as met."
         )
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(REPO_DIR, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH baseline — measured by bench.py
 
@@ -568,8 +588,7 @@ as the reference-pattern comparator:
 def _sf1_section() -> str:
     """Embed the sf1 (10x) heavy-gate recording if scripts/bench_sf1.py
     has produced one — same interleaved min-of-rounds methodology."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", "sf1.json")
+    path = os.path.join(REPO_DIR, "BENCH", "sf1.json")
     if not os.path.exists(path):
         return ""
     with open(path) as f:

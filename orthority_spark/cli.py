@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -298,6 +299,98 @@ def cmd_ortho(args) -> int:
     return 0
 
 
+def cmd_odm(args) -> int:
+    """`oty odm` analogue (reference cli.py:814-886): orthorectify a
+    processed OpenDroneMap dataset — cameras parsed from
+    ``<dataset>/opensfm/reconstruction.json`` (read_osfm: aa->opk,
+    xyz = -R^T t, reference_lla offsets), every image rendered over its
+    OWN footprint bbox, outputs under ``<dataset>/orthority`` by default,
+    ``--export-params`` writing oty-format interior YAML + exterior CSV.
+    Recast vs the reference: the DSM GeoTIFF and source-image decodes are
+    the analytic-DEM / deterministic-source stand-ins (no raster codecs
+    in this environment — the same stub contract as multimodal); tiles
+    land as parquet blocks per image."""
+    import math as _math
+
+    from .geom import dem as demmod
+    from .operators.remap import remap_tiles, tile_windows
+    from .pyfiles import ensure_on_executors
+    from .queries_extra import _rm_src_array
+    from .sources import footprints as fp
+    from .sources.factory import models_from_params
+    from .sources.param_io import (
+        read_osfm, write_ext_param_csv, write_int_param,
+    )
+    from .sources.writers import write_table
+
+    recon = os.path.join(args.dataset, "opensfm", "reconstruction.json")
+    if not os.path.exists(recon):
+        print(json.dumps({
+            "error": f"no reconstruction at {recon} — not a processed "
+            "ODM dataset"
+        }), file=sys.stderr)
+        return 2
+    int_p, ext_p = read_osfm(recon)
+    poses = [
+        {"filename": fn, "xyz": e["xyz"], "opk": e["opk"],
+         "camera": e["camera"]}
+        for fn, e in sorted(ext_p.items())
+    ]
+    models = models_from_params(int_p, poses)
+    out_dir = args.out or os.path.join(args.dataset, "orthority")
+    os.makedirs(out_dir, exist_ok=True)
+    if args.export_params:
+        write_int_param(
+            os.path.join(out_dir, "int_param.yaml"), int_p,
+            overwrite=args.overwrite,
+        )
+        write_ext_param_csv(
+            os.path.join(out_dir, "ext_param.csv"),
+            [
+                {
+                    "filename": p["filename"],
+                    "x": p["xyz"][0], "y": p["xyz"][1], "z": p["xyz"][2],
+                    "omega": _math.degrees(p["opk"][0]),
+                    "phi": _math.degrees(p["opk"][1]),
+                    "kappa": _math.degrees(p["opk"][2]),
+                    "camera": p["camera"],
+                }
+                for p in poses
+            ],
+            overwrite=args.overwrite,
+        )
+    spark = _spark(args)
+    ensure_on_executors(spark)
+    src = _rm_src_array()
+    dem_fn = demmod.dem_plane if args.dem == "plane" else demmod.dem_sinusoid
+    renders = {}
+    for fn, model in models.items():
+        # render window = the image's own ground footprint bbox (the
+        # reference derives it from the DSM + camera the same way)
+        bbox = fp.records_for_models({fn: model})["summary"][0][2:6]
+        x_min, y_min, x_max, y_max = (float(v) for v in bbox)
+        transform = (
+            (x_max - x_min) / args.width, 0.0, x_min,
+            0.0, -(y_max - y_min) / args.height, y_max,
+        )
+        tiles = tile_windows(spark, args.width, args.height)
+        out = remap_tiles(tiles, model, src, transform, dem_fn,
+                          interp=args.interp)
+        path = os.path.join(out_dir, os.path.splitext(fn)[0])
+        write_table(out, path, overwrite=args.overwrite)
+        w = spark.read.parquet(path)
+        valid = w.selectExpr(
+            "sum(size(filter(block, v -> v IS NOT NULL AND NOT isnan(v)))) AS v"
+        ).first().v
+        renders[fn] = {"tiles": w.count(), "valid_pixels": int(valid or 0)}
+    print(json.dumps({
+        "images": len(models), "out": out_dir, "interp": args.interp,
+        "exported_params": bool(args.export_params), "renders": renders,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="orthority_spark")
     ap.add_argument("--master", default="local[*]")
@@ -378,6 +471,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-tiles", type=int, default=None,
                    help="with --resume: stop after N tiles (crash sim)")
     p.set_defaults(fn=cmd_ortho)
+
+    p = sub.add_parser(
+        "odm", help="orthorectify a processed OpenDroneMap dataset"
+    )
+    p.add_argument("--dataset", required=True,
+                   help="dataset dir with opensfm/reconstruction.json")
+    p.add_argument("--out", default=None,
+                   help="output dir (default <dataset>/orthority)")
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--height", type=int, default=80)
+    p.add_argument(
+        "--interp", default="cubic",
+        choices=["nearest", "bilinear", "cubic", "lanczos"],
+    )
+    p.add_argument("--dem", default="plane", choices=["plane", "sinusoid"])
+    p.add_argument("--export-params", action="store_true",
+                   help="write oty int YAML + ext CSV to the output dir")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_odm)
 
     p = sub.add_parser("exif-scan", help="parse EXIF tags from binary blobs")
     p.add_argument("--input", required=True, help="parquet with filename/data")

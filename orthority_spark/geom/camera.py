@@ -71,8 +71,13 @@ def extrinsic(xyz, opk) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def distort_brown(xy: np.ndarray, k1, k2, p1, p2, k3) -> np.ndarray:
-    """Brown–Conrady radial + tangential distortion on normalised (2,N) xy."""
+def distort_brown(xy: np.ndarray, k1=0.0, k2=0.0, p1=0.0, p2=0.0,
+                  k3=0.0) -> np.ndarray:
+    """Brown–Conrady radial + tangential distortion on normalised (2,N) xy.
+
+    Coefficients default to 0 like the reference camera constructors
+    (camera.py BrownCamera) — an OpenSfM reconstruction that omits e.g.
+    p1/p2/k3 still builds a working model."""
     x, y = xy[0], xy[1]
     x2, y2 = x * x, y * y
     xyp = x * y
@@ -84,7 +89,8 @@ def distort_brown(xy: np.ndarray, k1, k2, p1, p2, k3) -> np.ndarray:
 
 
 def distort_opencv(
-    xy: np.ndarray, k1, k2, p1, p2, k3, k4=0.0, k5=0.0, k6=0.0,
+    xy: np.ndarray, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+    k4=0.0, k5=0.0, k6=0.0,
     s1=0.0, s2=0.0, s3=0.0, s4=0.0,
 ) -> np.ndarray:
     """OpenCV full model: rational radial + tangential + thin-prism."""
@@ -100,7 +106,8 @@ def distort_opencv(
     return np.vstack([xd, yd])
 
 
-def distort_fisheye(xy: np.ndarray, k1, k2, k3=0.0, k4=0.0) -> np.ndarray:
+def distort_fisheye(xy: np.ndarray, k1=0.0, k2=0.0, k3=0.0,
+                    k4=0.0) -> np.ndarray:
     """Equidistant fisheye theta-polynomial distortion (2- or 4-param)."""
     x, y = xy[0], xy[1]
     r = np.sqrt(x * x + y * y)

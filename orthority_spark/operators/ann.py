@@ -19,9 +19,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 QUANT = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+# coalesce absorbs zip_with's NULL padding for mixed-length pairs —
+# sum over COMMON dims, the same convention as the SQL index equi-join
 _DOT = (
-    "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), CAST(0 AS BIGINT), "
-    "(acc, v) -> acc + v)"
+    "aggregate(zip_with(a.qe, b.qe, (x, y) -> coalesce(x * y, "
+    "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 )
 
 

@@ -45,7 +45,13 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOT = "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+# pair dot product: coalesce absorbs zip_with's NULL padding when the two
+# vectors differ in length, matching the DuckDB twin's index equi-join
+# (sum over COMMON dims); same-length pairs are unaffected
+_DOT = (
+    "aggregate(zip_with(a.qe, b.qe, (x, y) -> coalesce(x * y, "
+    "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +218,12 @@ def _lsh_sign(j: int, i: int) -> int:
 def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
     """vec_id/qe/nn replicated into LSH_BANDS rows of (band, key): key =
     sum over the band's r planes of (d_j > 0) << bit. Entirely map-side
-    codegen'd expressions against inlined sign constants — no shuffle."""
+    codegen'd expressions against inlined sign constants — no shuffle.
+
+    ``dim`` is the corpus MAX dimension; the projection walks each
+    vector's OWN indices (sequence + element_at into the sign table), so
+    a shorter vector sums its present dims — ragged-safe, matching the
+    DuckDB twin — instead of being null-poisoned by zip_with padding."""
     band_structs = []
     for b in range(LSH_BANDS):
         bits = []
@@ -220,7 +231,8 @@ def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
             j = b * r + t
             signs = ", ".join(str(_lsh_sign(j, i)) for i in range(1, dim + 1))
             d = (
-                f"aggregate(zip_with(qe, array({signs}), (v, s) -> v * s), "
+                f"aggregate(zip_with(qe, sequence(1, size(qe)), "
+                f"(v, i) -> v * element_at(array({signs}), i)), "
                 "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
             )
             bits.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << t} AS BIGINT) "
@@ -250,6 +262,10 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     stats = emb.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
     ).first()
+    if not stats.n:  # empty corpus: no pairs (and no max-dim to project)
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cosine double"
+        )
     r = lsh_r_bits(stats.n)
     bk = _band_keys_df(_quantized(spark, sf_dir), r, stats.d)
     a, b = bk.alias("a"), bk.alias("b")

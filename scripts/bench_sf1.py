@@ -127,6 +127,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
             rounds[name].append(round(time.perf_counter() - t0, 3))
+            # drop persisted intermediates (LSH shingle caches): each
+            # timed round must measure the query, not a warm cache
+            spark.catalog.clearCache()
     # result sizes recorded untimed (sanity that each gate did real work)
     rows = {n: qs[n][0](spark, SF1_DIR).count() for n in SF1_QUERIES}
     spark.stop()
@@ -141,8 +144,13 @@ def main() -> None:
             for n, v in rounds.items()
         },
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/sf1.json", "w") as f:
+    # write under the REPO's BENCH/ regardless of cwd — bench.py's
+    # _sf1_section reads it from there to embed into BASELINE.md
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "sf1.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({n: min(v) for n, v in rounds.items()}))
 

@@ -117,6 +117,57 @@ def test_banded_lsh_occupancy_and_recall(spark, qz):
     assert len(got & allp) / len(allp) >= 0.2
 
 
+def test_banded_lsh_ragged_dims_match_oracle(spark, tmp_path):
+    """A corpus with mixed embedding lengths must not null-poison the
+    sign projections (zip_with pads the short side with NULL): the
+    projection walks each vector's own indices, so a short vector sums
+    its present dims exactly like the DuckDB unnest twin."""
+    import duckdb
+    import pandas as pd
+
+    from orthority_spark.queries_vec import (
+        q_embedding_neardups_bucketed, o_embedding_neardups_bucketed,
+    )
+
+    rows = []
+    for i in range(60):
+        d = 32 if i % 7 == 0 else 64  # every 7th vector is short
+        rows.append((i, i % 5,
+                     [((i * 73 + j * 37) % 2001 - 1000) / 1000.0
+                      for j in range(d)]))
+        if i % 10 == 9:  # planted exact dup of the previous vector
+            rows.append((i + 1000, i % 5, rows[-1][2]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        pdf, "vec_id bigint, label int, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    got = q_embedding_neardups_bucketed(spark, str(tmp_path)).toPandas()
+    assert len(got) >= 6  # the planted dups (cosine 1.0) must surface
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    exp = con.sql(o_embedding_neardups_bucketed()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    x = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == x.shape
+    assert (g.astype(str).values == x.astype(str).values).all()
+
+
+def test_banded_lsh_empty_corpus(spark, tmp_path):
+    import pandas as pd
+
+    from orthority_spark.queries_vec import q_embedding_neardups_bucketed
+
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "label": pd.Series([], dtype="int32"),
+                          "embedding": pd.Series([], dtype=object)})
+    spark.createDataFrame(
+        empty, "vec_id bigint, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    assert q_embedding_neardups_bucketed(spark, str(tmp_path)).count() == 0
+
+
 def test_kmeans_inertia_monotone_and_recall(spark):
     """Distributed Lloyd's k-means: Euclidean inertia is monotone
     non-increasing across iterations, and the trained quantiser's IVF

@@ -42,7 +42,7 @@ def test_headline_fits_driver_tail_capture():
 
 def test_headline_truncates_rather_than_overflowing():
     """Even a pathological queries dict must produce a parseable final
-    line: the guard drops to the first 12 queries and flags it."""
+    line: the guard shrinks the dict, re-measuring until it fits."""
     import bench
 
     r = _fake_result()
@@ -52,4 +52,10 @@ def test_headline_truncates_rather_than_overflowing():
     assert len(line) < 1900, len(line)
     parsed = json.loads(line)
     assert parsed["queries_truncated"] is True
-    assert len(parsed["queries"]) == 12
+    assert 0 < len(parsed["queries"]) < 200
+    # degenerate extreme: one absurdly long name still yields valid JSON
+    r["queries"] = {"q" * 5000: 1.0}
+    line = bench.headline_line(r, "BENCH/r99_full.json")
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] is True
+    assert parsed["queries"] == {}

@@ -167,3 +167,69 @@ def test_cli_ortho_resume(cli_spark, tmp_path, capsys):
 
     job = LedgerJob(cli_spark, out_dir, part_col="tile_key")
     assert job.completed_keys().count() == 4
+
+
+def _odm_dataset(tmp_path):
+    """A minimal processed-ODM layout: opensfm/reconstruction.json with
+    one camera and two nadir-ish shots hovering over the fixture block
+    (camera xyz chosen above the 825 m DEM plane; t = -R @ xyz)."""
+    from orthority_spark.geom.rotation import aa_to_rotation
+
+    ds = tmp_path / "dataset"
+    (ds / "opensfm").mkdir(parents=True)
+    shots = {}
+    for i, (aa, xyz) in enumerate([
+        ([0.02, -0.01, 0.05], [19900.0, 29950.0, 1000.0]),
+        ([-0.03, 0.02, -0.1], [20050.0, 30050.0, 1050.0]),
+    ]):
+        R = aa_to_rotation(np.array(aa))
+        t = (-R @ np.array(xyz)).tolist()
+        shots[f"img_{i}.jpg"] = {
+            "camera": "cam1", "rotation": aa, "translation": t,
+        }
+    recon = [{
+        "cameras": {
+            "cam1": {"projection_type": "perspective", "width": 640,
+                     "height": 480, "focal": 0.9, "k1": -0.05, "k2": 0.01},
+        },
+        "shots": shots,
+    }]
+    (ds / "opensfm" / "reconstruction.json").write_text(json.dumps(recon))
+    return ds
+
+
+def test_cli_odm(cli_spark, tmp_path, capsys):
+    """`odm` (the oty odm analogue): dataset discovery -> read_osfm ->
+    per-image footprint-bbox render -> <dataset>/orthority outputs +
+    exported oty param files that round-trip through the factory."""
+    ds = _odm_dataset(tmp_path)
+    rc = cli.main([
+        "odm", "--dataset", str(ds), "--width", "64", "--height", "64",
+        "--interp", "bilinear", "--export-params", "--overwrite",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["images"] == 2
+    assert rep["out"] == str(ds / "orthority")
+    for img, r in rep["renders"].items():
+        assert r["tiles"] == 1  # 64x64 fits one tile window
+        assert r["valid_pixels"] > 0, img
+    # exported params round-trip: factory rebuilds the SAME models
+    from orthority_spark.sources.factory import models_from_files
+    from orthority_spark.sources.param_io import read_osfm
+
+    models = models_from_files(
+        ds / "orthority" / "int_param.yaml",
+        ds / "orthority" / "ext_param.csv",
+    )
+    int_p, ext_p = read_osfm(ds / "opensfm" / "reconstruction.json")
+    assert set(models) == set(ext_p)
+    for fn, m in models.items():
+        np.testing.assert_allclose(m.xyz, ext_p[fn]["xyz"], rtol=1e-9)
+        np.testing.assert_allclose(m.opk, ext_p[fn]["opk"], atol=1e-12)
+
+
+def test_cli_odm_missing_reconstruction(cli_spark, tmp_path, capsys):
+    rc = cli.main(["odm", "--dataset", str(tmp_path)])
+    assert rc == 2
+    assert "reconstruction" in capsys.readouterr().err
