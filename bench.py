@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "contamination_check",
     "events_gapfill",
+    "repetition_ratio",
+    "host_stats",
     "ann_topk",
     "embedding_neardups_bucketed",
     "remap_pixels_cubic",

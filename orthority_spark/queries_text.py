@@ -753,6 +753,97 @@ def o_stream_dedup() -> str:
     return "SELECT DISTINCT md5(text) AS text_hash FROM documents"
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter (LLM-pipeline
+    quality family): per doc, the fraction of word-3-grams that repeat
+    an earlier occurrence — (total - distinct) / total. High-ratio docs
+    are the boilerplate/templated spam large-corpus quality rules drop.
+    One partial-agg per (doc, gram) then per doc — scales as a plain
+    two-level groupBy; exact integer counts, one double division with
+    identical operands on both engines."""
+    grams = (
+        _docs(spark, sf_dir)
+        .withColumn("l", F.split(F.col("text"), " "))
+        .where(F.size("l") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(l) - 3), "
+                    "i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            (F.col("n_grams") - F.col("n_distinct")).cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .select("doc_id", "n_grams", "n_distinct", "dup_ratio")
+    )
+
+
+def o_repetition_ratio() -> str:
+    return """
+WITH grams AS (
+  SELECT doc_id, l[p] || ' ' || l[p+1] || ' ' || l[p+2] AS g
+  FROM (
+    SELECT doc_id, l, generate_subscripts(l, 1) AS p
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  ) WHERE p <= len(l) - 2
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_distinct,
+       CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+         / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS dup_ratio
+FROM per GROUP BY doc_id"""
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus stats over the crawl-shaped pages (web-scale
+    curation family): host parsed from the url, page count + distinct
+    languages per host — the group-by behind per-domain quotas and
+    blocklists in training-data pipelines. Map-side regexp + one
+    partial-agg groupBy; at 100 TB this is a single shuffle on host."""
+    from .queries_geo import derived_pages
+
+    p = derived_pages(spark, sf_dir)
+    return (
+        p.withColumn(
+            "host", F.regexp_extract("url", "https://([^/]+)/", 1)
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def o_host_stats() -> str:
+    from .sources.pages import derived_pages_sql
+
+    spec = derived_pages_sql("o_orderkey", "duckdb")
+    return f"""
+WITH pages AS (
+  SELECT {spec['url']} AS url, {spec['lang']} AS lang FROM orders
+)
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       COUNT(*) AS n_pages, COUNT(DISTINCT lang) AS n_langs
+FROM pages GROUP BY host"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, o_dedup_exact),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
@@ -770,4 +861,6 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, o_stratified_sample),
     "contamination_check": (q_contamination_check, o_contamination_check),
     "stream_dedup": (q_stream_dedup, o_stream_dedup),
+    "repetition_ratio": (q_repetition_ratio, o_repetition_ratio),
+    "host_stats": (q_host_stats, o_host_stats),
 }

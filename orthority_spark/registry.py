@@ -106,6 +106,10 @@ DEMOTED = [
     "json_extract_props",    # scalar built-in; §2.7 gated by text_stats et al
     "distinct_customers",    # distinct built-in; dedup_exact gates the family
     "events_by_hour",        # date-time built-in; events_gapfill/sessionize gate
+    # r4 new training-data ops (cap full): Gopher-style within-doc
+    # repetition filter + per-host corpus stats; full DuckDB parity
+    "repetition_ratio",
+    "host_stats",
 ]
 
 

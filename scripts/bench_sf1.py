@@ -41,6 +41,7 @@ SF1_QUERIES = [
     "lsh_candidates",
     "jaccard_neardups_lsh",
     "corpus_clean",
+    "repetition_ratio",
     "ann_topk",
     "ann_ivf",
     "embedding_neardups_bucketed",
