@@ -332,6 +332,20 @@ def hw_calibration() -> dict:
     return {"hw_md5_eff_8_to_32": round(out[8] / (4 * out[32]), 3)}
 
 
+def _rnd3(x: float | None) -> float | None:
+    return None if x is None else round(x, 3)
+
+
+def _round_number() -> str:
+    """The round this run records under: BENCH_ROUND env, else inferred
+    from the driver's BENCH_r*.json archives (single definition — the
+    full-json writer and the attempts table must agree)."""
+    return os.environ.get(
+        "BENCH_ROUND",
+        str(len(_glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))) + 1),
+    )
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -373,14 +387,13 @@ def main() -> None:
     # marginal (data-proportional) efficiency: subtract each level's own
     # measured fixed latency (near-empty identical plan)
     marg = {c: steady[c] - overhead[c] for c in LEVELS}
-    # guard value must survive round() at assembly: use nan, not None
-    # (a pathological window where the near-empty probe >= the steady
-    # run would otherwise crash the whole recording at the finish line)
-    eff_2_8_marginal = (
-        marg[2] / (4 * marg[8]) if marg[8] > 0 else float("nan")
-    )
+    # degenerate guard (near-empty probe >= steady run): None, which
+    # json.dumps renders as null — a bare float('nan') would emit the
+    # non-RFC-8259 literal NaN and strict driver parsers would reject
+    # the whole headline (the round-3 parsed:null failure again)
+    eff_2_8_marginal = marg[2] / (4 * marg[8]) if marg[8] > 0 else None
     eff_8_n_marginal = (
-        marg[8] / ((CPUS / 8) * marg[CPUS]) if marg[CPUS] > 0 else float("nan")
+        marg[8] / ((CPUS / 8) * marg[CPUS]) if marg[CPUS] > 0 else None
     )
     parity = all(tiles[c] == tiles[LEVELS[0]] for c in LEVELS)
     hw = hw_calibration()
@@ -420,8 +433,8 @@ def main() -> None:
         "fixed_latency_sec": {str(c): round(overhead[c], 3) for c in LEVELS},
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_2_to_8_median": round(eff_2_8_med, 3),
-        "scaling_efficiency_2_to_8_marginal": round(eff_2_8_marginal, 3),
-        "scaling_efficiency_8_to_%d_marginal" % CPUS: round(eff_8_n_marginal, 3),
+        "scaling_efficiency_2_to_8_marginal": _rnd3(eff_2_8_marginal),
+        "scaling_efficiency_8_to_%d_marginal" % CPUS: _rnd3(eff_8_n_marginal),
         "scaling_efficiency_8_to_%d" % CPUS: round(eff_8_n, 3),
         **hw,
         "checksum_parity_all_levels": parity,
@@ -480,11 +493,7 @@ def _write_full_json(result: dict) -> str:
     BENCH/ (cwd-independent), named by round number inferred from the
     driver's BENCH_r*.json archives (overridable via BENCH_ROUND)."""
     os.makedirs(os.path.join(REPO_DIR, "BENCH"), exist_ok=True)
-    rnd = os.environ.get(
-        "BENCH_ROUND",
-        str(len(_glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))) + 1),
-    )
-    rel = f"BENCH/r{rnd}_full.json"
+    rel = f"BENCH/r{_round_number()}_full.json"
     with open(os.path.join(REPO_DIR, rel), "w") as f:
         json.dump(result, f, indent=1)
     return rel
@@ -504,7 +513,9 @@ def _write_baseline_md(r: dict) -> None:
     raw28 = r["scaling_efficiency_2_to_8"]
     med28 = r["scaling_efficiency_2_to_8_median"]
     marg28 = r["scaling_efficiency_2_to_8_marginal"]
-    best28 = max(raw28, med28, marg28)
+    # marg28 is None (rendered null) when the fixed-latency probe
+    # degenerated; the claim then rests on the raw/median estimators
+    best28 = max(v for v in (raw28, med28, marg28) if v is not None)
     if raw28 >= 0.8:
         claim = f"meets the >= 0.8 north-rule target on the raw numbers."
     elif best28 >= 0.8:
@@ -592,10 +603,7 @@ def _attempts_section(current: dict) -> str:
     """Every archived attempt of the round (BENCH/r{N}_attempt*.json) +
     the primary recording, one row each — the full picture on a drifting
     host, not just the chosen window."""
-    rnd = os.environ.get(
-        "BENCH_ROUND",
-        str(len(_glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))) + 1),
-    )
+    rnd = _round_number()
     paths = sorted(
         _glob.glob(os.path.join(REPO_DIR, "BENCH", f"r{rnd}_attempt*.json"))
     )

@@ -319,7 +319,7 @@ def cmd_odm(args) -> int:
     from .sources import footprints as fp
     from .sources.factory import models_from_params
     from .sources.param_io import (
-        read_osfm, write_ext_param_csv, write_int_param,
+        osfm_world_poses, read_osfm, write_ext_param_csv, write_int_param,
     )
     from .sources.writers import write_table
 
@@ -331,11 +331,9 @@ def cmd_odm(args) -> int:
         }), file=sys.stderr)
         return 2
     int_p, ext_p = read_osfm(recon)
-    poses = [
-        {"filename": fn, "xyz": e["xyz"], "opk": e["opk"],
-         "camera": e["camera"]}
-        for fn, e in sorted(ext_p.items())
-    ]
+    # reference_lla offsets applied: shot xyz is topocentric about the
+    # dataset reference (reference param_io.py:1240-1259)
+    poses = osfm_world_poses(ext_p)
     models = models_from_params(int_p, poses)
     out_dir = args.out or os.path.join(args.dataset, "orthority")
     os.makedirs(out_dir, exist_ok=True)

@@ -34,6 +34,8 @@ class ZTransform:
         return z * self.scale + self.offset
 
     def to_datum(self, z: float) -> float:
+        if self.scale == 0.0:
+            raise ValueError("degenerate ZTransform: scale is 0")
         return (z - self.offset) / self.scale
 
 
@@ -48,6 +50,8 @@ def probe_z_transform(
     z=0 / z=1 evaluation, ortho.py:144-151): exact for any linear datum
     shift (geoid offset, unit change), and a first-order fit otherwise —
     the same approximation the reference commits to."""
+    if z1 == z0:
+        raise ValueError(f"probe heights must differ: z0 == z1 == {z0}")
     w0 = float(datum_to_world(z0))
     w1 = float(datum_to_world(z1))
     scale = (w1 - w0) / (z1 - z0)

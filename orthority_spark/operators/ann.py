@@ -31,7 +31,9 @@ def quantize(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id", "label", F.expr(QUANT).alias("qe")
     ).withColumn(
-        "nn", F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+        # coalesce: a NULL embedding element counts 0, matching the SQL
+        # twin's SUM-skips-NULL over the unnested dims
+        "nn", F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + coalesce(v * v, CAST(0 AS BIGINT)))")
     )
 
 

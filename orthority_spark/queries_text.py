@@ -88,6 +88,24 @@ WITH shingles AS (
 )"""
 
 
+#: one cached DataFrame per logical slot: gate queries run many times in
+#: one long session (driver gate sweep, bench, pytest) and unbounded
+#: ``persist()`` calls would pin every past invocation's shingle cache in
+#: executor storage; swapping per slot bounds the footprint to one copy.
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def _persist_latest(df: DataFrame, slot: str) -> DataFrame:
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the old cache may already be stopped
+    _PERSIST_SLOTS[slot] = df.persist()
+    return df
+
+
 def _h31(col_sql_spark: str) -> str:
     """Spark SQL: 31-bit md5-prefix hash of a string column."""
     return (
@@ -202,7 +220,7 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band-signature table is persisted before the self-join: both join
     sides reference the same tiny intermediate, and without it Spark would
     recompute the whole shingle->minhash pipeline twice."""
-    b = _band_sigs(spark, sf_dir).persist()
+    b = _persist_latest(_band_sigs(spark, sf_dir), "lsh_band_sigs")
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, ["band", "band_sig"])
@@ -268,7 +286,7 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard computed ONLY for pairs sharing an LSH band (never
     all-pairs); the shingle explode is restricted to candidate docs via a
     left-semi join before the pair join."""
-    b = _band_sigs(spark, sf_dir).persist()
+    b = _persist_latest(_band_sigs(spark, sf_dir), "jaccard_band_sigs")
     a, c = b.alias("a"), b.alias("c")
     cands = (
         a.join(c, ["band", "band_sig"])
@@ -289,7 +307,9 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed over candidate docs ONLY — na/nb are identical for every
     # pair that reaches the final join, and the agg input shrinks from
     # the corpus to the candidate set
-    shc = sh.join(cand_ids, "doc_id", "left_semi").persist()
+    shc = _persist_latest(
+        sh.join(cand_ids, "doc_id", "left_semi"), "jaccard_cand_shingles"
+    )
     counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a2 = shc.select(F.col("doc_id").alias("doc_a"), "sh")
     b2 = shc.select(F.col("doc_id").alias("doc_b"), "sh")

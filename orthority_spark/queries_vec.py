@@ -41,17 +41,16 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(_QUANT).alias("qe"),
     ).withColumn(
-        "nn", F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+        # coalesce: a NULL embedding element counts 0, matching the SQL
+        # twin's SUM-skips-NULL over the unnested dims
+        "nn", F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + coalesce(v * v, CAST(0 AS BIGINT)))")
     )
 
 
-# pair dot product: coalesce absorbs zip_with's NULL padding when the two
-# vectors differ in length, matching the DuckDB twin's index equi-join
-# (sum over COMMON dims); same-length pairs are unaffected
-_DOT = (
-    "aggregate(zip_with(a.qe, b.qe, (x, y) -> coalesce(x * y, "
-    "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-)
+# pair dot product — SINGLE definition shared with the ANN operators (a
+# prior round maintained two identical copies and a NULL-padding fix had
+# to be hand-duplicated into both)
+from .operators.ann import _DOT  # noqa: E402
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,12 +119,14 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     qz = _quantized(spark, sf_dir)
     d1 = (
         "aggregate(zip_with(qe, sequence(1, size(qe)), "
-        "(v, i) -> CASE WHEN (i - 1) % 2 = 0 THEN v ELSE -v END), "
+        "(v, i) -> coalesce(CASE WHEN (i - 1) % 2 = 0 THEN v ELSE -v END, "
+        "CAST(0 AS BIGINT))), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     d2 = (
         "aggregate(zip_with(qe, sequence(1, size(qe)), "
-        "(v, i) -> CASE WHEN (i - 1) % 3 = 0 THEN v ELSE -v END), "
+        "(v, i) -> coalesce(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE -v END, "
+        "CAST(0 AS BIGINT))), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     return qz.select(
@@ -230,9 +231,12 @@ def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
         for t in range(r):
             j = b * r + t
             signs = ", ".join(str(_lsh_sign(j, i)) for i in range(1, dim + 1))
+            # coalesce: NULL elements count 0 (the SQL twin's SUM skips
+            # the NULL unnest rows) — same convention as nn and _DOT
             d = (
                 f"aggregate(zip_with(qe, sequence(1, size(qe)), "
-                f"(v, i) -> v * element_at(array({signs}), i)), "
+                f"(v, i) -> coalesce(v * element_at(array({signs}), i), "
+                "CAST(0 AS BIGINT))), "
                 "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
             )
             bits.append(f"(CASE WHEN {d} > 0 THEN CAST({1 << t} AS BIGINT) "

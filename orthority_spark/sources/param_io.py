@@ -436,6 +436,31 @@ def read_osfm(file: str | Path) -> tuple[dict, dict]:
     return int_params, ext_params
 
 
+def osfm_world_poses(ext_params: dict) -> list[dict]:
+    """OpenSfM shot poses -> engine-world poses.
+
+    Shot xyz is TOPOCENTRIC metres about ``reference_lla``; the reference
+    projects the lla reference into the world CRS and adds it to every
+    shot (param_io.py:1240-1259 ``ref_xyz``). Same here through the
+    exact linear frame (config.py): world(ref) + local. A reconstruction
+    without a reference (some test rigs) keeps raw local coordinates."""
+    from .. import config
+
+    out = []
+    for fn, e in sorted(ext_params.items()):
+        x, y, z = e["xyz"]
+        lat, lon, alt = e.get("ref_lla", (None, None, None))
+        if lat is not None and lon is not None:
+            x += (lon - config.LON0) * config.M_PER_DEG
+            y += (lat - config.LAT0) * config.M_PER_DEG
+            z += float(alt or 0.0)
+        out.append(
+            {"filename": fn, "xyz": (x, y, z), "opk": e["opk"],
+             "camera": e["camera"]}
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # GCPs (GeoJSON) — S10
 # ---------------------------------------------------------------------------

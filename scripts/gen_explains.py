@@ -13,7 +13,8 @@ NAMES = [
     "pip_join", "pip_join_salted", "knn_kring", "dem_z_sample",
     "jaccard_neardups_lsh", "corpus_clean", "ann_ivf",
     "embedding_neardups_bucketed", "tf_idf", "stratified_sample",
-    "contamination_check", "tile_checksums",
+    "contamination_check", "repetition_ratio", "host_stats",
+    "tile_checksums",
 ]
 HEAD = """# Physical plans of the headline gates (generated)
 

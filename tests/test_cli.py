@@ -171,19 +171,21 @@ def test_cli_ortho_resume(cli_spark, tmp_path, capsys):
 
 def _odm_dataset(tmp_path):
     """A minimal processed-ODM layout: opensfm/reconstruction.json with
-    one camera and two nadir-ish shots hovering over the fixture block
-    (camera xyz chosen above the 825 m DEM plane; t = -R @ xyz)."""
+    one camera and two nadir-ish shots. Shot xyz is TOPOCENTRIC about
+    reference_lla (the real OpenSfM convention); world(ref) lands at
+    (19900, 29950, 900) on the engine frame, so the cameras hover above
+    the 825 m DEM plane like the fixture block (t = -R @ local_xyz)."""
     from orthority_spark.geom.rotation import aa_to_rotation
 
     ds = tmp_path / "dataset"
     (ds / "opensfm").mkdir(parents=True)
     shots = {}
-    for i, (aa, xyz) in enumerate([
-        ([0.02, -0.01, 0.05], [19900.0, 29950.0, 1000.0]),
-        ([-0.03, 0.02, -0.1], [20050.0, 30050.0, 1050.0]),
+    for i, (aa, local) in enumerate([
+        ([0.02, -0.01, 0.05], [0.0, 0.0, 100.0]),
+        ([-0.03, 0.02, -0.1], [150.0, 100.0, 150.0]),
     ]):
         R = aa_to_rotation(np.array(aa))
-        t = (-R @ np.array(xyz)).tolist()
+        t = (-R @ np.array(local)).tolist()
         shots[f"img_{i}.jpg"] = {
             "camera": "cam1", "rotation": aa, "translation": t,
         }
@@ -193,6 +195,8 @@ def _odm_dataset(tmp_path):
                      "height": 480, "focal": 0.9, "k1": -0.05, "k2": 0.01},
         },
         "shots": shots,
+        "reference_lla": {"latitude": -33.7005, "longitude": 24.199,
+                          "altitude": 900.0},
     }]
     (ds / "opensfm" / "reconstruction.json").write_text(json.dumps(recon))
     return ds
@@ -214,19 +218,24 @@ def test_cli_odm(cli_spark, tmp_path, capsys):
     for img, r in rep["renders"].items():
         assert r["tiles"] == 1  # 64x64 fits one tile window
         assert r["valid_pixels"] > 0, img
-    # exported params round-trip: factory rebuilds the SAME models
+    # exported params round-trip: factory rebuilds the SAME models, with
+    # the reference_lla offset applied (world(ref) = (19900, 29950, 900))
     from orthority_spark.sources.factory import models_from_files
-    from orthority_spark.sources.param_io import read_osfm
+    from orthority_spark.sources.param_io import osfm_world_poses, read_osfm
 
     models = models_from_files(
         ds / "orthority" / "int_param.yaml",
         ds / "orthority" / "ext_param.csv",
     )
     int_p, ext_p = read_osfm(ds / "opensfm" / "reconstruction.json")
+    world = {p["filename"]: p for p in osfm_world_poses(ext_p)}
     assert set(models) == set(ext_p)
+    np.testing.assert_allclose(
+        world["img_0.jpg"]["xyz"], (19900.0, 29950.0, 1000.0), atol=1e-6
+    )
     for fn, m in models.items():
-        np.testing.assert_allclose(m.xyz, ext_p[fn]["xyz"], rtol=1e-9)
-        np.testing.assert_allclose(m.opk, ext_p[fn]["opk"], atol=1e-12)
+        np.testing.assert_allclose(m.xyz, world[fn]["xyz"], rtol=1e-9)
+        np.testing.assert_allclose(m.opk, world[fn]["opk"], atol=1e-12)
 
 
 def test_cli_odm_missing_reconstruction(cli_spark, tmp_path, capsys):
