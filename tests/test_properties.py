@@ -166,3 +166,38 @@ def test_solve_pnp_recovers_any_pose(o, p, k, h):
                        dist=m.dist), ji, xyz)
     np.testing.assert_allclose(s["xyz"], m.xyz, atol=1e-3)
     np.testing.assert_allclose(s["opk"], m.opk, atol=1e-5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=0.01, max_value=100.0),
+    st.floats(min_value=-1e4, max_value=1e4),
+    st.floats(min_value=-5e3, max_value=5e3),
+)
+def test_vdatum_probe_recovers_any_linear_map(scale, offset, z):
+    """probe_z_transform must reconstruct ANY linear vertical transform
+    from its two-point evaluation, and to_world/to_datum must round-trip
+    (the per-job constant the footprint builder folds in)."""
+    from orthority_spark.geom.vdatum import probe_z_transform
+
+    t = probe_z_transform(lambda v: v * scale + offset)
+    assert abs(t.scale - scale) <= 1e-9 * max(1.0, abs(scale))
+    assert abs(t.offset - offset) <= 1e-6 * max(1.0, abs(offset))
+    assert abs(t.to_datum(t.to_world(z)) - z) <= 1e-6 * max(1.0, abs(z))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**15))
+def test_lsh_r_bits_tracks_target_occupancy(n):
+    """2^r stays within a factor 2 of N / TARGET_OCC inside the clamp
+    band — the invariant that bounds bucket occupancy at ANY corpus
+    size (the round-4 scale fix for embedding near-dup)."""
+    from orthority_spark.queries_vec import (
+        LSH_RMAX, LSH_RMIN, LSH_TARGET_OCC, lsh_r_bits,
+    )
+
+    r = lsh_r_bits(n)
+    assert LSH_RMIN <= r <= LSH_RMAX
+    m = max(1, -(-n // LSH_TARGET_OCC))  # ceil, floored at 1
+    if LSH_RMIN < r < LSH_RMAX:  # inside the clamp: 2^(r-1) <= m < 2^r
+        assert 2 ** (r - 1) <= m < 2 ** r
