@@ -255,6 +255,7 @@ def cmd_ortho(args) -> int:
         model = fp.fixture_models()[args.image]
     src = _rm_src_array()  # single definition shared with the oracle gates
     dem_fn = demmod.dem_plane if args.dem == "plane" else demmod.dem_sinusoid
+    dem_fn = _dem_with_ztrans(dem_fn, args)
     transform = (
         args.resolution, 0.0, _RM_TRANSFORM[2],
         0.0, -args.resolution, _RM_TRANSFORM[5],
@@ -297,6 +298,27 @@ def cmd_ortho(args) -> int:
     }))
     spark.stop()
     return 0
+
+
+def _dem_with_ztrans(dem_fn, args):
+    """Vertical-datum plumbing for the render commands (SURVEY P18,
+    geom/vdatum.py): a DEM whose heights live in another datum declares
+    ``--dem-z-scale/--dem-z-offset`` and the per-job linear transform is
+    folded into the sampled surface — executors still see plain world z
+    (the reference's z_scale from ortho.py:144-151 applied to the read
+    DEM block)."""
+    scale = getattr(args, "dem_z_scale", 1.0)
+    offset = getattr(args, "dem_z_offset", 0.0)
+    if scale == 1.0 and offset == 0.0:
+        return dem_fn
+    from .geom.vdatum import ZTransform
+
+    zt = ZTransform(scale=scale, offset=offset)
+
+    def world_dem(x, y, _base=dem_fn, _t=zt):
+        return _t.to_world(_base(x, y))
+
+    return world_dem
 
 
 def cmd_odm(args) -> int:
@@ -361,11 +383,17 @@ def cmd_odm(args) -> int:
     ensure_on_executors(spark)
     src = _rm_src_array()
     dem_fn = demmod.dem_plane if args.dem == "plane" else demmod.dem_sinusoid
+    dem_fn = _dem_with_ztrans(dem_fn, args)
     renders = {}
     for fn, model in models.items():
         # render window = the image's own ground footprint bbox (the
-        # reference derives it from the DSM + camera the same way)
-        bbox = fp.records_for_models({fn: model})["summary"][0][2:6]
+        # reference derives it from the DSM + camera the same way); the
+        # footprint plane shifts with any declared vertical transform so
+        # the window tracks where the (transformed) DEM actually is
+        from .geom.vdatum import ZTransform as _ZT
+
+        zt = _ZT(scale=args.dem_z_scale, offset=args.dem_z_offset)
+        bbox = fp.records_for_models({fn: model}, ztrans=zt)["summary"][0][2:6]
         x_min, y_min, x_max, y_max = (float(v) for v in bbox)
         transform = (
             (x_max - x_min) / args.width, 0.0, x_min,
@@ -461,6 +489,10 @@ def main(argv: list[str] | None = None) -> int:
         choices=["nearest", "bilinear", "cubic", "lanczos"],
     )
     p.add_argument("--dem", default="plane", choices=["plane", "sinusoid"])
+    p.add_argument("--dem-z-scale", type=float, default=1.0,
+                   help="vertical-datum scale applied to DEM heights")
+    p.add_argument("--dem-z-offset", type=float, default=0.0,
+                   help="vertical-datum offset (EGM-style geoid shift)")
     p.add_argument("--resolution", type=float, default=2.0)
     p.add_argument("--out", required=True)
     p.add_argument("--overwrite", action="store_true")
@@ -484,6 +516,10 @@ def main(argv: list[str] | None = None) -> int:
         choices=["nearest", "bilinear", "cubic", "lanczos"],
     )
     p.add_argument("--dem", default="plane", choices=["plane", "sinusoid"])
+    p.add_argument("--dem-z-scale", type=float, default=1.0,
+                   help="vertical-datum scale applied to DEM heights")
+    p.add_argument("--dem-z-offset", type=float, default=0.0,
+                   help="vertical-datum offset (EGM-style geoid shift)")
     p.add_argument("--export-params", action="store_true",
                    help="write oty int YAML + ext CSV to the output dir")
     p.add_argument("--overwrite", action="store_true")

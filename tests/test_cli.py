@@ -242,3 +242,37 @@ def test_cli_odm_missing_reconstruction(cli_spark, tmp_path, capsys):
     rc = cli.main(["odm", "--dataset", str(tmp_path)])
     assert rc == 2
     assert "reconstruction" in capsys.readouterr().err
+
+
+def test_cli_ortho_vertical_datum(cli_spark, tmp_path, capsys):
+    """--dem-z-scale/--dem-z-offset fold the per-job vertical transform
+    into the sampled DEM (SURVEY P18 on the user surface): the rendered
+    valid-pixel count matches the whole-image oracle run against the
+    identically shifted surface; identity flags are a no-op."""
+    out_plain = str(tmp_path / "plain")
+    out_ident = str(tmp_path / "ident")
+    out_shift = str(tmp_path / "shift")
+    base = ["ortho", "--image", "img_0000", "--width", "96", "--height",
+            "80", "--interp", "bilinear", "--dem", "sinusoid", "--overwrite"]
+    assert cli.main(base + ["--out", out_plain]) == 0
+    rep_plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli.main(base + [
+        "--dem-z-scale", "1.0", "--dem-z-offset", "0.0", "--out", out_ident,
+    ]) == 0
+    rep_ident = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep_ident["valid_pixels"] == rep_plain["valid_pixels"]
+    assert cli.main(base + [
+        "--dem-z-offset", "-120.0", "--out", out_shift,
+    ]) == 0
+    rep_shift = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from orthority_spark.geom.dem import dem_sinusoid
+    from orthority_spark.operators.remap import remap_oracle
+    from orthority_spark.queries_extra import _RM_TRANSFORM, _rm_src_array
+    from orthority_spark.sources.footprints import fixture_models
+
+    oracle = remap_oracle(
+        fixture_models()["img_0000"], _rm_src_array(), _RM_TRANSFORM,
+        96, 80, lambda x, y: dem_sinusoid(x, y) - 120.0, interp="bilinear",
+    )
+    assert rep_shift["valid_pixels"] == int(np.isfinite(oracle).sum())
