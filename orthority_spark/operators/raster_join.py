@@ -120,13 +120,15 @@ def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
     crosses a tile border fall back to nearest-cell within the tile
     (documented tolerance; halo-tiled DEM removes this at scale)."""
     d = dem.where(F.col("band") == band)
-    one = d.select("transform").first()
-    a, _, c, _, e, f0 = one.transform
+    # ONE driver-side metadata job for the (constant) affine + extents —
+    # a separate first() would scan the tile table twice
     ext = d.agg(
+        F.first("transform").alias("t"),
         F.max("height").alias("h"),
         F.max(F.col("col_off") + F.col("width")).alias("nc"),
         F.max(F.col("row_off") + F.col("height")).alias("nr"),
     ).first()
+    a, _, c, _, e, f0 = ext.t
     tile, ncols, nrows = int(ext.h), int(ext.nc), int(ext.nr)
     col = F.floor((F.col("px") - F.lit(c)) / F.lit(a)).cast("long")
     row = F.floor((F.col("py") - F.lit(f0)) / F.lit(e)).cast("long")
