@@ -71,14 +71,20 @@ def test_banded_lsh_bucket_count_is_data_driven():
     assert lsh_r_bits(1) == LSH_RMIN
     assert lsh_r_bits(500) == 5       # sf0.01 fixture -> 32 keys/band
     assert lsh_r_bits(2000) == 6      # sf0.1 fixture -> 64 keys/band
-    assert lsh_r_bits(10**9) == LSH_RMAX
+    # NO ceiling at design scale (VERDICT r4 #1: the old RMAX=16 froze
+    # buckets at 65536 past N ~ 2.1M): r keeps tracking N unclamped
+    assert lsh_r_bits(10**9) == 25
+    assert lsh_r_bits(10**12) == 35   # the 10^12-vector design point
+    assert lsh_r_bits(10**15) == 45
+    # the BIGINT-key clamp binds only past TARGET_OCC * 2^58 ~ 9.2e18
+    assert lsh_r_bits(LSH_TARGET_OCC * (1 << 58)) == LSH_RMAX == 58
     prev = 0
-    for n in (1, 10, 100, 1000, 10**4, 10**6, 10**9):
+    for n in (1, 10, 100, 1000, 10**4, 10**6, 10**9, 10**12):
         r = lsh_r_bits(n)
         assert r >= prev, "bucket bits must be monotone in corpus size"
         prev = r
     # the design target: 2^r >= N / (2 * TARGET_OCC) below the clamp
-    for n in (100, 5000, 10**5):
+    for n in (100, 5000, 10**5, 10**9, 10**12):
         assert 2 ** lsh_r_bits(n) * 2 * LSH_TARGET_OCC >= n
 
 
@@ -115,6 +121,91 @@ def test_banded_lsh_occupancy_and_recall(spark, qz):
     # agreement ~0.62/plane): measured recall 0.33 at sf0.01; genuinely
     # near-identical pairs (cosine ~0.95) collide at ~0.9/plane
     assert len(got & allp) / len(allp) >= 0.2
+
+
+def test_banded_lsh_occupancy_past_old_clamp(spark):
+    """The VERDICT r4 #1 contract: at a corpus size where
+    bit_length(ceil(N/32)) EXCEEDS the old RMAX=16 clamp (N > ~2.1M),
+    bucket cardinality keeps tracking N and max occupancy stays within
+    4x the expected N / 2^r — the old ceiling capped every band at
+    65536 buckets, so >65536 occupied buckets per band is impossible
+    under the clamped design. 2.2M synthetic near-isotropic vectors
+    (JVM-side generation; pmod keeps the per-dim distribution symmetric
+    — Spark's % would bias every dim negative and cluster the corpus),
+    real lsh_r_bits + _band_keys_df path at r=17. ~40 s at local[32]."""
+    from orthority_spark.queries_vec import _band_keys_df, lsh_r_bits
+
+    n, dim = 2_200_000, 32
+    r = lsh_r_bits(n)
+    assert r == 17 > 16, "fixture must sit past the old clamp"
+    qz = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "i -> CAST(pmod(xxhash64(id, i), 2000001) - 1000000 AS BIGINT))"
+        ).alias("qe"),
+        F.lit(1).cast("bigint").alias("nn"),
+    )
+    occ = _band_keys_df(qz, r, dim).groupBy("band", "key").count()
+    stats = occ.agg(
+        F.max("count").alias("mx"),
+        F.count(F.lit(1)).alias("nb"),
+        F.countDistinct("band").alias("bands"),
+    ).first()
+    expected = -(-n // 2**r)  # ceil — same bound formula as the sf0.01 test
+    assert stats.mx <= 4 * expected, (stats.mx, expected)
+    assert stats.nb / stats.bands > 65536, (
+        f"{stats.nb / stats.bands:.0f} buckets/band — still under the old "
+        "2^16 ceiling"
+    )
+
+
+def test_banded_lsh_strong_dup_recall_across_r():
+    """Recall contract on TRUE duplicates (VERDICT r4 #4): the sf0.01
+    fixture's 'near dups' are weak 0.35-0.5-cosine pairs (recall ~0.33
+    by design), so it cannot catch a recall regression on genuinely
+    near-identical vectors. Plant 400 perturbed duplicate pairs
+    (measured cosine >= 0.995) in an isotropic background and require
+    the 4-band OR construction to recover >= 0.9 of them at every r up
+    to past the old clamp — per plane a strong dup flips with
+    p ~ arccos(cos)/pi ~ 0.02, so a full r-bit band agrees with
+    p ~ 0.98^r ~ 0.69 at r = 18 and 4 bands miss with
+    p ~ (1 - 0.69)^4 < 0.01."""
+    import numpy as np
+
+    from orthority_spark.queries_vec import LSH_BANDS, _lsh_sign
+
+    rng = np.random.RandomState(7)
+    n_pairs, dim = 400, 64
+    base = rng.normal(size=(n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(n_pairs, dim)) * 0.008
+    dup = base + noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    cos = (base * dup).sum(axis=1)
+    assert cos.min() >= 0.995, "fixture must contain only strong dups"
+    # the quantised integer domain the real pipeline projects in
+    qa = np.rint(base * 1e6).astype("int64")
+    qb = np.rint(dup * 1e6).astype("int64")
+    for r in (6, 12, 18):
+        signs = np.array(
+            [
+                [_lsh_sign(j // r, j % r, i) for i in range(1, dim + 1)]
+                for j in range(LSH_BANDS * r)
+            ],
+            dtype="int64",
+        )
+        bits_a = (qa @ signs.T) > 0
+        bits_b = (qb @ signs.T) > 0
+        recalled = 0
+        for k in range(n_pairs):
+            for b in range(LSH_BANDS):
+                sl = slice(b * r, (b + 1) * r)
+                if (bits_a[k, sl] == bits_b[k, sl]).all():
+                    recalled += 1
+                    break
+        recall = recalled / n_pairs
+        assert recall >= 0.9, (r, recall)
 
 
 def test_banded_lsh_ragged_dims_match_oracle(spark, tmp_path):
