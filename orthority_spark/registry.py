@@ -69,8 +69,13 @@ PRIORITY = [
     "stratified_sample",
     "contamination_check",
     "events_gapfill",
+    # r5 rotation (VERDICT r4 #6): the r4-new training-data families get
+    # driver-recorded gates; the two built-in-dominated relational gates
+    # they displace (pricing_summary, value_percentiles) keep full DuckDB
+    # parity as DEMOTED twins
+    "repetition_ratio",
+    "host_stats",
     # -- relational / windows / set ops --
-    "pricing_summary",
     "revenue_by_nation",
     "window_topk_events",
     "asof_join_window",
@@ -80,7 +85,6 @@ PRIORITY = [
     "rollup_pricing",
     "stream_dedup",
     "except_pages",
-    "value_percentiles",
 ]
 
 #: Pytest-parity-only twins (same oracle check, not driver-recorded):
@@ -106,10 +110,11 @@ DEMOTED = [
     "json_extract_props",    # scalar built-in; §2.7 gated by text_stats et al
     "distinct_customers",    # distinct built-in; dedup_exact gates the family
     "events_by_hour",        # date-time built-in; events_gapfill/sessionize gate
-    # r4 new training-data ops (cap full): Gopher-style within-doc
-    # repetition filter + per-host corpus stats; full DuckDB parity
-    "repetition_ratio",
-    "host_stats",
+    # r5 swap-outs (VERDICT r4 #6): built-in-dominated relational gates —
+    # their slots went to the r4-new repetition_ratio / host_stats
+    # training-data families; both keep full DuckDB parity here
+    "pricing_summary",       # TPC-H Q1 agg; rollup_pricing gates the family
+    "value_percentiles",     # percentile built-in; covar/window gates remain
 ]
 
 
