@@ -268,15 +268,37 @@ def cmd_ortho(args) -> int:
         # ledger — the reference's single-writer loop has no analogue)
         from .plans.ledger import LedgerJob
 
+        job = LedgerJob(spark, args.out, part_col="tile_key")
         # the packing multiplier must exceed every possible col_off, or
         # distinct tiles collide to one ledger key and resume skips
-        # unrendered tiles; next power of two >= width (floor 65536)
-        mult = max(65536, 1 << (args.width - 1).bit_length())
+        # unrendered tiles; next power of two >= width (floor 65536).
+        # The multiplier is PERSISTED in the job metadata on first run
+        # and REUSED on resume: recomputing from args would re-key every
+        # tile if the derivation (or width) changed between runs, so the
+        # anti-join would match nothing and prior progress would be
+        # silently re-rendered (ADVICE r4).
+        meta = job.read_meta()
+        if meta is None:
+            mult = max(65536, 1 << (args.width - 1).bit_length())
+            job.write_meta({
+                "tile_key_mult": mult,
+                "width": args.width, "height": args.height,
+            })
+        else:
+            mult = int(meta["tile_key_mult"])
+            if (int(meta["width"]), int(meta["height"])) != (
+                args.width, args.height
+            ):
+                raise ValueError(
+                    f"cannot resume {args.out}: it was started at "
+                    f"{meta['width']}x{meta['height']}, not "
+                    f"{args.width}x{args.height} — the tile grid (and so "
+                    "the ledger keys) would differ; use a fresh --out"
+                )
         keyed = out.withColumn(
             "tile_key",
             F.col("row_off").cast("long") * mult + F.col("col_off"),
         )
-        job = LedgerJob(spark, args.out, part_col="tile_key")
         metrics = job.run(
             keyed, F.xxhash64("tile_id", "block"),
             max_partitions=args.max_tiles,

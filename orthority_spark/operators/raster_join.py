@@ -121,13 +121,23 @@ def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
     (documented tolerance; halo-tiled DEM removes this at scale)."""
     d = dem.where(F.col("band") == band)
     # ONE driver-side metadata job for the (constant) affine + extents —
-    # a separate first() would scan the tile table twice
+    # a separate first() would scan the tile table twice. first() in an
+    # unordered agg is only sound because every tile of the band shares
+    # one affine; countDistinct makes a mixed-transform DEM fail loudly
+    # instead of silently sampling against an arbitrary tile's affine
+    # (ADVICE r4).
     ext = d.agg(
         F.first("transform").alias("t"),
+        F.countDistinct("transform").alias("nt"),
         F.max("height").alias("h"),
         F.max(F.col("col_off") + F.col("width")).alias("nc"),
         F.max(F.col("row_off") + F.col("height")).alias("nr"),
     ).first()
+    if ext.nt != 1:
+        raise ValueError(
+            f"sample_dem_z requires one shared affine transform per band; "
+            f"band {band} has {ext.nt} distinct transforms"
+        )
     a, _, c, _, e, f0 = ext.t
     tile, ncols, nrows = int(ext.h), int(ext.nc), int(ext.nr)
     col = F.floor((F.col("px") - F.lit(c)) / F.lit(a)).cast("long")

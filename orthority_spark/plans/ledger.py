@@ -58,6 +58,28 @@ class LedgerJob:
         fs, hp = self._fs(path)
         return bool(fs.exists(hp))
 
+    # -- job metadata --------------------------------------------------------
+    def read_meta(self) -> dict | None:
+        """Job-level metadata recorded at first run (e.g. the tile-key
+        packing multiplier): resume must reuse the ORIGINAL key scheme —
+        recomputing it from current args silently orphans all prior
+        progress if the derivation changed between runs (ADVICE r4)."""
+        meta_dir = os.path.join(self.root, "meta")
+        if not self._exists(meta_dir):
+            return None
+        rows = self.spark.read.parquet(meta_dir).collect()
+        return {r.key: r.value for r in rows}
+
+    def write_meta(self, meta: dict) -> None:
+        """Persist job metadata once (string key/value rows — parquet so
+        it rides the same Hadoop FS as the ledger on any store)."""
+        self.spark.createDataFrame(
+            [(str(k), str(v)) for k, v in meta.items()],
+            "key string, value string",
+        ).coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(self.root, "meta")
+        )
+
     # -- ledger ------------------------------------------------------------
     def ledger(self) -> DataFrame:
         if not self._exists(self.ledger_dir):

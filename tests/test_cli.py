@@ -167,6 +167,27 @@ def test_cli_ortho_resume(cli_spark, tmp_path, capsys):
 
     job = LedgerJob(cli_spark, out_dir, part_col="tile_key")
     assert job.completed_keys().count() == 4
+    # the key multiplier is persisted at first run and reused on resume
+    # (ADVICE r4: recomputing from args re-keys every tile after an
+    # upgrade that changes the derivation, orphaning prior progress)
+    meta = job.read_meta()
+    assert int(meta["tile_key_mult"]) == 65536
+    assert (int(meta["width"]), int(meta["height"])) == (96, 80)
+
+
+def test_cli_ortho_resume_rejects_changed_grid(cli_spark, tmp_path, capsys):
+    """Resuming an out dir that was started at a different width/height
+    must fail loudly: the tile grid (and so the ledger keys) would
+    differ and completed work would be silently re-rendered or, worse,
+    wrong tiles skipped."""
+    out_dir = str(tmp_path / "ortho_resume_grid")
+    base = ["ortho", "--interp", "bilinear", "--out", out_dir, "--resume"]
+    assert cli.main(
+        base + ["--width", "96", "--height", "80", "--max-tiles", "2"]
+    ) == 0
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="use a fresh --out"):
+        cli.main(base + ["--width", "128", "--height", "80"])
 
 
 def _odm_dataset(tmp_path):

@@ -159,6 +159,30 @@ def test_sample_dem_z_drops_out_of_extent(spark):
     assert got == {"in"}
 
 
+def test_sample_dem_z_rejects_mixed_transforms(spark):
+    """sample_dem_z derives the (single) affine with first() in an
+    unordered agg — sound only because every tile of a band shares one
+    transform. A DEM whose tiles carry different affines must fail
+    loudly instead of sampling against an arbitrary tile's transform
+    (ADVICE r4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    dem = fixture_dem(spark)
+    skewed = dem.withColumn(
+        "transform",
+        F.when(
+            F.col("col_off") == 0,
+            F.expr("transform(transform, v -> v * 2.0)"),
+        ).otherwise(F.col("transform")),
+    )
+    pts = spark.createDataFrame(
+        [("p", 19000.0, 30000.0)], "url string, px double, py double"
+    )
+    with pytest.raises(ValueError, match="distinct transforms"):
+        sample_dem_z(pts, skewed, band=1).collect()
+
+
 def test_sample_dem_z_matches_scalar_twin(spark):
     """Vectorized per-tile gather == per-point scalar arithmetic (bit
     parity), including border points that take the nearest-cell fallback."""
