@@ -30,6 +30,7 @@ import glob as _glob
 import hashlib
 import json
 import os
+import re as _re
 import shutil
 import sys
 import time
@@ -337,13 +338,21 @@ def _rnd3(x: float | None) -> float | None:
 
 
 def _round_number() -> str:
-    """The round this run records under: BENCH_ROUND env, else inferred
-    from the driver's BENCH_r*.json archives (single definition — the
-    full-json writer and the attempts table must agree)."""
-    return os.environ.get(
-        "BENCH_ROUND",
-        str(len(_glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))) + 1),
-    )
+    """The round this run records under: BENCH_ROUND env, else the MAX
+    index of the driver's BENCH_r*.json archives + 1 (single definition —
+    the full-json writer and the attempts table must agree). Max, not
+    count: with a gap in the archive sequence, count+1 would collide
+    with an existing round and silently drop its attempts section from
+    BASELINE.md (ADVICE r4)."""
+    env = os.environ.get("BENCH_ROUND")
+    if env:
+        return env
+    idxs = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return str((max(idxs) if idxs else 0) + 1)
 
 
 def _median(xs: list[float]) -> float:
@@ -353,6 +362,32 @@ def _median(xs: list[float]) -> float:
 
 
 def main() -> None:
+    # window pre-probe (VERDICT r4 #8): a full run in a degrading window
+    # (hw eff < 0.45, e.g. r4 attempt3 at 0.357) wastes ~20 min and
+    # records numbers dominated by host contention. Flag it in the
+    # artifact always; REFUSE the run under BENCH_STRICT_WINDOW=1 (the
+    # manual-attempt mode — the driver's unattended run must still
+    # produce a headline, so it only flags).
+    pre = hw_calibration()
+    pre_eff = pre["hw_md5_eff_8_to_32"]
+    window_degraded = pre_eff < 0.45
+    if window_degraded and os.environ.get("BENCH_STRICT_WINDOW"):
+        skip = {
+            "metric": "bench window skipped: pre-probe hw md5 8->32 "
+                      "efficiency under 0.45",
+            "value": pre_eff,
+            "unit": "efficiency",
+            "skipped": True,
+        }
+        os.makedirs(os.path.join(REPO_DIR, "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(REPO_DIR, "BENCH",
+                         f"r{_round_number()}_skipped_{int(time.time())}.json"),
+            "w",
+        ) as f:
+            json.dump(skip, f, indent=1)
+        print(json.dumps(skip, separators=(",", ":")))
+        return
     materialize_pages()
     cold, steady, overhead, rounds, tiles = run_pipeline_levels(LEVELS)
     med = {c: _median(v) for c, v in rounds.items()}
@@ -374,6 +409,12 @@ def main() -> None:
     salted_steady = min(salted_rounds)
     unsalted_steady = min(unsalted_rounds)
     noaqe_steady = min(noaqe_rounds)
+    # min AND median estimators for the skew speedups (VERDICT r4 #7):
+    # salted rounds swing ~2.5x within one window on this VM, so a single
+    # contended draw must not halve (or double) the claim
+    salted_med = _median(salted_rounds)
+    unsalted_med = _median(unsalted_rounds)
+    noaqe_med = _median(noaqe_rounds)
     skew_parity = (
         salted_tiles == bcast_tiles
         and unsalted_tiles == bcast_tiles
@@ -425,8 +466,14 @@ def main() -> None:
         "salting_speedup_vs_unsalted_shuffle": round(
             unsalted_steady / salted_steady, 3
         ),
+        "salting_speedup_vs_unsalted_shuffle_median": round(
+            unsalted_med / salted_med, 3
+        ),
         "salting_speedup_vs_hot_key_no_aqe": round(
             noaqe_steady / salted_steady, 3
+        ),
+        "salting_speedup_vs_hot_key_no_aqe_median": round(
+            noaqe_med / salted_med, 3
         ),
         "skew_broadcast_rounds_sec": bcast_rounds,
         "skew_probe_checksum_parity": skew_parity,
@@ -437,6 +484,8 @@ def main() -> None:
         "scaling_efficiency_8_to_%d_marginal" % CPUS: _rnd3(eff_8_n_marginal),
         "scaling_efficiency_8_to_%d" % CPUS: round(eff_8_n, 3),
         **hw,
+        "preprobe_hw_md5_eff_8_to_32": pre_eff,
+        "window_degraded": window_degraded,
         "checksum_parity_all_levels": parity,
         "n_tiles": len(tiles[LEVELS[0]]),
     }
@@ -466,6 +515,11 @@ def headline_line(result: dict, full_path: str) -> str:
         "eff_8_%d_raw" % CPUS: result["scaling_efficiency_8_to_%d" % CPUS],
         "hw_md5_eff_8_to_32": result["hw_md5_eff_8_to_32"],
         "salting_speedup": result["salting_speedup_vs_hot_key_no_aqe"],
+        "salting_speedup_median": result.get(
+            "salting_speedup_vs_hot_key_no_aqe_median",
+            result["salting_speedup_vs_hot_key_no_aqe"],
+        ),
+        "window_degraded": result.get("window_degraded", False),
         "checksum_parity": bool(
             result["checksum_parity_all_levels"]
             and result["skew_probe_checksum_parity"]
@@ -499,6 +553,22 @@ def _write_full_json(result: dict) -> str:
     return rel
 
 
+def _window_raw28s(current: dict) -> list[float]:
+    """Raw 2->8 efficiency from every archived attempt window of this
+    round plus the current recording — the across-window distribution
+    the headline claim is generated from (ADVICE r4: never headline the
+    strongest draw)."""
+    rnd = _round_number()
+    vals = [
+        json.load(open(p))["scaling_efficiency_2_to_8"]
+        for p in sorted(
+            _glob.glob(os.path.join(REPO_DIR, "BENCH", f"r{rnd}_attempt*.json"))
+        )
+    ]
+    vals.append(current["scaling_efficiency_2_to_8"])
+    return vals
+
+
 def _write_baseline_md(r: dict) -> None:
     os.makedirs(os.path.join(REPO_DIR, "BENCH"), exist_ok=True)
     level_rows = "\n".join(
@@ -516,7 +586,23 @@ def _write_baseline_md(r: dict) -> None:
     # marg28 is None (rendered null) when the fixed-latency probe
     # degenerated; the claim then rests on the raw/median estimators
     best28 = max(v for v in (raw28, med28, marg28) if v is not None)
-    if raw28 >= 0.8:
+    # ADVICE r4: with multiple windows recorded, the HEADLINE is the
+    # across-window median of the raw number and a met-in-j-of-k count —
+    # never the strongest draw of an already min-based noisy estimator
+    wvals = _window_raw28s(r)
+    if len(wvals) > 1:
+        wmed = round(_median(wvals), 3)
+        met = sum(v >= 0.8 for v in wvals)
+        verdict = "MEETS" if wmed >= 0.8 else "does not meet"
+        claim = (
+            f"headline across ALL {len(wvals)} recorded windows this round "
+            f"(not the best draw): raw 2->8 median {wmed}, range "
+            f"{min(wvals)}-{max(wvals)} — the across-window median "
+            f"{verdict} the >= 0.8 north-rule target, and the raw target "
+            f"is met in {met} of {len(wvals)} windows (per-window values "
+            f"in the attempts table below)."
+        )
+    elif raw28 >= 0.8:
         claim = f"meets the >= 0.8 north-rule target on the raw numbers."
     elif best28 >= 0.8:
         which = (
@@ -561,6 +647,10 @@ data-volume-independent, amortised away on real cluster-scale jobs).
   probe on this VM measures {r['hw_md5_eff_8_to_32']} efficiency over the
   same 8 -> 32 step (the VM's 32 vCPUs deliver well under linear at full
   subscription, and the ceiling drifts over time).
+- window pre-probe (before any timed work): hw md5 8->32 efficiency
+  {r.get('preprobe_hw_md5_eff_8_to_32', 'n/a')}{' — **DEGRADED window** (< 0.45): this recording ran under heavy host contention and its absolute numbers are suspect' if r.get('window_degraded') else ''}.
+  A probe under 0.45 refuses the run entirely under
+  BENCH_STRICT_WINDOW=1 (manual attempts); unattended runs only flag.
 - skew strategies at local[{CPUS}], measured JOIN-ONLY over a
   mega-cell-AMPLIFIED pages_cells table (hot key 4x, ~73% of all rows on
   one cell; the full-pipeline framing Amdahl-diluted the hot reducer out
@@ -571,11 +661,15 @@ data-volume-independent, amortised away on real cluster-scale jobs).
   plan with n_salt=1 carrying the hot key on one reducer:
   with AQE skew-splitting ON {r['unsalted_shuffle_steady_sec']} s (runs
   {r['unsalted_shuffle_rounds_sec']},
-  {r['salting_speedup_vs_unsalted_shuffle']}x — AQE's runtime split
-  competes with salting, as it should), with AQE skew-splitting OFF
-  {r['unsalted_noaqe_steady_sec']} s (runs {r['unsalted_noaqe_rounds_sec']}) —
-  **{r['salting_speedup_vs_hot_key_no_aqe']}x salting speedup over the
-  unmitigated hot key**{', the skew win the strategy exists for' if r['salting_speedup_vs_hot_key_no_aqe'] >= 1.5 else ' (below the 1.5x separation target in this window)'}.
+  {r['salting_speedup_vs_unsalted_shuffle']}x min-estimator /
+  {r.get('salting_speedup_vs_unsalted_shuffle_median', r['salting_speedup_vs_unsalted_shuffle'])}x median-estimator
+  — AQE's runtime split competes with salting, as it should), with AQE
+  skew-splitting OFF {r['unsalted_noaqe_steady_sec']} s
+  (runs {r['unsalted_noaqe_rounds_sec']}) —
+  **salting speedup over the unmitigated hot key:
+  {r['salting_speedup_vs_hot_key_no_aqe']}x min-estimator /
+  {r.get('salting_speedup_vs_hot_key_no_aqe_median', r['salting_speedup_vs_hot_key_no_aqe'])}x median-estimator**
+  (both reported so one contended draw cannot halve the claim){', the skew win the strategy exists for' if r.get('salting_speedup_vs_hot_key_no_aqe_median', r['salting_speedup_vs_hot_key_no_aqe']) >= 1.5 else ' (median below the 1.5x separation target in this window)'}.
   (Broadcast on the same input: {r['skew_broadcast_rounds_sec']} s —
   beats all three; salting is for catalogs too big to broadcast.)
 - per-tile checksum parity across ALL parallelism levels:
@@ -595,6 +689,7 @@ as the reference-pattern comparator:
             + "\n".join(f"| {k} | {v} |" for k, v in r["queries"].items())
             + "\n"
             + _attempts_section(r)
+            + _ab_section()
             + _sf1_section()
         )
 
@@ -631,6 +726,38 @@ def _attempts_section(current: dict) -> str:
         + "\n".join(rows)
         + "\n"
     )
+
+
+def _ab_section() -> str:
+    """Embed the controlled r3-vs-r4 LSH-verify plan A/B if
+    scripts/ab_jaccard.py has produced one (VERDICT r4 #3: the r3->r4
+    wall-time comparison was confounded by the clearCache regime change;
+    this is the deconfounded measurement, attribution text generated
+    from the numbers)."""
+    path = os.path.join(REPO_DIR, "BENCH", "ab_jaccard.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        ab = json.load(f)
+    rows = "\n".join(
+        f"| {n} | {p['min']} | {p['median']} | {p['rounds']} | {p['rows']} |"
+        for n, p in ab["plans"].items()
+    )
+    notes = "\n".join(f"- {n}" for n in ab["attribution"])
+    return f"""
+## r3-vs-r4 LSH-verify plan A/B — scripts/ab_jaccard.py
+
+Both plans in ONE window at {ab['sf_dir']} (local[{ab['cpus']}]),
+{ab['rounds_per_plan']} interleaved rounds, clearCache before every timed
+run (the regime r4 introduced), identical noop-write action; r3 bodies
+verbatim from ff21f75~1, row counts cross-checked equal:
+
+| plan | min s | median s | all rounds s | rows |
+|---|---|---|---|---|
+{rows}
+
+{notes}
+"""
 
 
 def _sf1_section() -> str:

@@ -31,7 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = 50_000
 N_VECS = 20_000
 N_ORDERS = 1_500_000
-ROUNDS = 2
+# >= 3 interleaved rounds (VERDICT r4 #3: two draws is too thin for a
+# min estimator on this drifting VM)
+ROUNDS = 3
 
 # the gates whose sf0.1 cost profiles the VERDICT wanted re-read at 10x
 SF1_QUERIES = [
