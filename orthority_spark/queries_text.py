@@ -217,10 +217,17 @@ def o_minhash_signatures() -> str:
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: candidate near-dup pairs sharing any band signature.
 
-    The band-signature table is persisted before the self-join: both join
-    sides reference the same tiny intermediate, and without it Spark would
-    recompute the whole shingle->minhash pipeline twice."""
-    b = _persist_latest(_band_sigs(spark, sf_dir), "lsh_band_sigs")
+    The band-signature self-join deliberately does NOT persist its input:
+    caching the band table first looks scan-minimal (one shingle->minhash
+    pass instead of two), but the cache build is a synchronization
+    barrier that serializes the whole query graph, and the r5 controlled
+    A/B (BENCH/ab_jaccard.json) measured the persisted shape 1.4-1.6x
+    SLOWER at both sf0.1 and the 10x sf1 fixture. Exchange reuse would
+    give single-scan for free, but the higher-order-function lambdas in
+    the shingle pipeline don't canonicalize equal (verified: zero
+    ReusedExchange under both BHJ and SMJ), so the two pipelined scans
+    are the measured-fastest shape on every scale we can test."""
+    b = _band_sigs(spark, sf_dir)
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, ["band", "band_sig"])
@@ -286,7 +293,10 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard computed ONLY for pairs sharing an LSH band (never
     all-pairs); the shingle explode is restricted to candidate docs via a
     left-semi join before the pair join."""
-    b = _persist_latest(_band_sigs(spark, sf_dir), "jaccard_band_sigs")
+    # no persist on the band table: the cache barrier costs more than the
+    # second pipelined shingle->minhash pass at every measurable scale
+    # (r5 A/B, BENCH/ab_jaccard.json — see q_lsh_candidates docstring)
+    b = _band_sigs(spark, sf_dir)
     a, c = b.alias("a"), b.alias("c")
     cands = (
         a.join(c, ["band", "band_sig"])
