@@ -518,6 +518,34 @@ SELECT label, COUNT(*) AS n_components, CAST(SUM(v) AS BIGINT) AS sum_v, CAST(SU
 FROM u GROUP BY label"""
 
 
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level embedding dedup with the keep-canonical rule: a
+    vector survives unless it has a banded-LSH-detected near-dup with a
+    SMALLER vec_id (the same drop-the-higher-id convention as
+    corpus_clean's text path). This is the O(N)-OUTPUT shape a training
+    pipeline actually consumes — the pairs gate
+    (embedding_neardups_bucketed) is the verifier, but its output is
+    inherently quadratic in dup-cluster size; the survivor set is not,
+    and every downstream stage (sampling, mixing, training) reads O(N)
+    rows. Plan: the bucketed pair detection (never all-pairs), losers =
+    distinct higher ids, one left-anti join back to the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    losers = (
+        q_embedding_neardups_bucketed(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(losers, "vec_id", "left_anti")
+
+
+def o_embedding_dedup_keep() -> str:
+    return f"""
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (
+  SELECT vec_b FROM ({o_embedding_neardups_bucketed()}) pairs
+)"""
+
+
 QUERIES = {
     "ann_topk": (q_ann_topk, o_ann_topk),
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
@@ -528,4 +556,5 @@ QUERIES = {
     ),
     "label_centroid_norms": (q_label_centroid_norms, o_label_centroid_norms),
     "ann_ivf": (q_ann_ivf, o_ann_ivf),
+    "embedding_dedup_keep": (q_embedding_dedup_keep, o_embedding_dedup_keep),
 }

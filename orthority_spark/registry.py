@@ -110,6 +110,10 @@ DEMOTED = [
     "json_extract_props",    # scalar built-in; §2.7 gated by text_stats et al
     "distinct_customers",    # distinct built-in; dedup_exact gates the family
     "events_by_hour",        # date-time built-in; events_gapfill/sessionize gate
+    # r5-new: O(N)-output corpus dedup (keep-canonical over the bucketed
+    # pair detection) — the shape downstream training stages consume;
+    # full DuckDB parity, family gated by embedding_neardups_bucketed
+    "embedding_dedup_keep",
     # r5 swap-outs (VERDICT r4 #6): built-in-dominated relational gates —
     # their slots went to the r4-new repetition_ratio / host_stats
     # training-data families; both keep full DuckDB parity here

@@ -293,3 +293,25 @@ def test_kmeans_inertia_monotone_and_recall(spark):
     assert recall >= 0.5
     assert recall >= recall_seed - 0.2  # k-means never collapses recall
     qz.unpersist()
+
+
+def test_embedding_dedup_keep_contract(spark):
+    """Keep-canonical semantics: survivors = corpus minus the higher id
+    of every detected near-dup pair. Every dropped vector must be vec_b
+    of at least one detected pair (a < b), no survivor may be, and the
+    smallest vec_id in the corpus always survives."""
+    from orthority_spark.queries_vec import (
+        q_embedding_dedup_keep, q_embedding_neardups_bucketed,
+    )
+
+    corpus = {
+        r.vec_id for r in
+        spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id").collect()
+    }
+    pairs = q_embedding_neardups_bucketed(spark, SF).collect()
+    assert all(p.vec_a < p.vec_b for p in pairs)
+    losers = {p.vec_b for p in pairs}
+    kept = {r.vec_id for r in q_embedding_dedup_keep(spark, SF).collect()}
+    assert kept == corpus - losers
+    assert losers, "fixture must contain detected near-dups"
+    assert min(corpus) in kept
