@@ -322,15 +322,21 @@ def _mp_work(n: int) -> int:
 
 
 def hw_calibration() -> dict:
-    """Raw-machine scaling (no Spark): md5 chains in 8 vs 32 processes."""
+    """Raw-machine scaling (no Spark): md5 chains at 2/8/32 processes,
+    fixed total work — the same strong-scaling shape as the pipeline
+    levels. Yields the host ceiling for BOTH steps the engine reports:
+    the north-rule 2->8 step and the host-capped 8->32 step."""
     total = 8_000_000
     out = {}
-    for procs in (8, 32):
+    for procs in (2, 8, 32):
         t0 = time.perf_counter()
         with Pool(procs) as p:
             p.map(_mp_work, [total // procs] * procs)
         out[procs] = time.perf_counter() - t0
-    return {"hw_md5_eff_8_to_32": round(out[8] / (4 * out[32]), 3)}
+    return {
+        "hw_md5_eff_2_to_8": round(out[2] / (4 * out[8]), 3),
+        "hw_md5_eff_8_to_32": round(out[8] / (4 * out[32]), 3),
+    }
 
 
 def _rnd3(x: float | None) -> float | None:
@@ -485,6 +491,7 @@ def main() -> None:
         "scaling_efficiency_8_to_%d" % CPUS: round(eff_8_n, 3),
         **hw,
         "preprobe_hw_md5_eff_8_to_32": pre_eff,
+        "preprobe_hw_md5_eff_2_to_8": pre.get("hw_md5_eff_2_to_8"),
         "window_degraded": window_degraded,
         "checksum_parity_all_levels": parity,
         "n_tiles": len(tiles[LEVELS[0]]),
@@ -513,6 +520,7 @@ def headline_line(result: dict, full_path: str) -> str:
         "eff_2_8_median": result["scaling_efficiency_2_to_8_median"],
         "eff_2_8_marginal": result["scaling_efficiency_2_to_8_marginal"],
         "eff_8_%d_raw" % CPUS: result["scaling_efficiency_8_to_%d" % CPUS],
+        "hw_md5_eff_2_to_8": result.get("hw_md5_eff_2_to_8"),
         "hw_md5_eff_8_to_32": result["hw_md5_eff_8_to_32"],
         "salting_speedup": result["salting_speedup_vs_hot_key_no_aqe"],
         "salting_speedup_median": result.get(
@@ -641,6 +649,12 @@ data-volume-independent, amortised away on real cluster-scale jobs).
 - **N -> 4N scaling efficiency (local[2] -> local[8]): raw (min-estimator)
   {raw28}, median-estimator {med28}, data-proportional (fixed latency
   subtracted) {marg28}** — {claim}
+- same-window hardware ceiling for the 2 -> 8 step: the Spark-free
+  multiprocessing md5 probe (fixed total work, the same strong-scaling
+  shape as the pipeline levels) measures
+  {r.get('hw_md5_eff_2_to_8', 'n/a')} efficiency over 2 -> 8 processes
+  on this VM — the engine's raw number above runs under that ceiling,
+  not under 1.0.
 - local[8] -> local[{CPUS}]: raw {r['scaling_efficiency_8_to_' + str(CPUS)]},
   marginal {r['scaling_efficiency_8_to_' + str(CPUS) + '_marginal']} — capped
   by the sandbox host, not the engine: a Spark-free multiprocessing md5
@@ -713,6 +727,7 @@ def _attempts_section(current: dict) -> str:
             f"| {label} | {d['value']} | {d['scaling_efficiency_2_to_8']} | "
             f"{d['scaling_efficiency_2_to_8_median']} | "
             f"{d['scaling_efficiency_2_to_8_marginal']} | "
+            f"{d.get('hw_md5_eff_2_to_8', 'n/a')} | "
             f"{d['hw_md5_eff_8_to_32']} |"
         )
     return (
@@ -722,7 +737,7 @@ def _attempts_section(current: dict) -> str:
         "them, chosen for the strongest RAW 2->8 number — every other "
         "window is equally inspectable:\n\n"
         "| attempt | steady local[%s] s | 2->8 raw | median | marginal | "
-        "hw md5 8->32 |\n|---|---|---|---|---|---|\n" % CPUS
+        "hw md5 2->8 | hw md5 8->32 |\n|---|---|---|---|---|---|---|\n" % CPUS
         + "\n".join(rows)
         + "\n"
     )

@@ -21,6 +21,7 @@ def _fake_result() -> dict:
         "scaling_efficiency_2_to_8_median": 0.755,
         "scaling_efficiency_2_to_8_marginal": 0.811,
         "scaling_efficiency_8_to_%d" % bench.CPUS: 0.372,
+        "hw_md5_eff_2_to_8": 0.862,
         "hw_md5_eff_8_to_32": 0.413,
         "salting_speedup_vs_hot_key_no_aqe": 3.12,
         "checksum_parity_all_levels": True,
