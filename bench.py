@@ -186,6 +186,31 @@ def _build_pipeline(spark, small: bool = False):
     )
 
 
+def _plan_fingerprint(df) -> str:
+    """md5 of the pipeline's NORMALIZED formatted physical plan: expr
+    ids (#123), plan/subquery ids and codegen ids are run-dependent and
+    stripped; operator tree, join strategies, pushed filters and
+    partitioning survive. Identical fingerprint across rounds ==
+    wall-time deltas are host-window noise, not plan changes (the check
+    EXPLAINS.md does by eye, made mechanical and recorded per window)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return hashlib.md5(_normalize_plan(buf.getvalue()).encode()).hexdigest()
+
+
+def _normalize_plan(plan: str) -> str:
+    plan = _re.sub(r"#\d+[L]?", "#", plan)  # expression ids
+    plan = _re.sub(r"\[plan_id=\d+\]", "", plan)
+    plan = _re.sub(r"RDD\[\d+\]", "RDD[]", plan)  # createDataFrame RDD ids
+    plan = _re.sub(r"\[id=#?\d*\]", "", plan)
+    plan = _re.sub(r"\(\d+\)", "()", plan)  # node ordinals
+    return _re.sub(r"\s+", " ", plan).strip()
+
+
 def run_pipeline_once(cores: int) -> tuple[float, float, float, dict]:
     """One cold session, two fresh-lineage runs: returns (cold incl. the
     one-time codegen compile, steady with compile cached, tiles).
@@ -443,6 +468,13 @@ def main() -> None:
         marg[8] / ((CPUS / 8) * marg[CPUS]) if marg[CPUS] > 0 else None
     )
     parity = all(tiles[c] == tiles[LEVELS[0]] for c in LEVELS)
+    # untimed: normalized-plan fingerprint for cross-round attribution
+    fp_spark = get_spark(
+        master="local[4]", app_name="bench-plan-fp", shuffle_partitions=8
+    )
+    ensure_on_executors(fp_spark)
+    plan_fp = _plan_fingerprint(_build_pipeline(fp_spark))
+    fp_spark.stop()
     hw = hw_calibration()
     q_times = run_queries(CPUS)
 
@@ -492,6 +524,7 @@ def main() -> None:
         **hw,
         "preprobe_hw_md5_eff_8_to_32": pre_eff,
         "preprobe_hw_md5_eff_2_to_8": pre.get("hw_md5_eff_2_to_8"),
+        "pipeline_plan_fingerprint": plan_fp,
         "window_degraded": window_degraded,
         "checksum_parity_all_levels": parity,
         "n_tiles": len(tiles[LEVELS[0]]),
@@ -661,6 +694,11 @@ data-volume-independent, amortised away on real cluster-scale jobs).
   probe on this VM measures {r['hw_md5_eff_8_to_32']} efficiency over the
   same 8 -> 32 step (the VM's 32 vCPUs deliver well under linear at full
   subscription, and the ceiling drifts over time).
+- pipeline plan fingerprint (md5 of the normalized formatted physical
+  plan, expr/plan ids stripped):
+  `{r.get('pipeline_plan_fingerprint', 'n/a')}` — equal fingerprints
+  across windows/rounds mean wall-time deltas are host noise, not plan
+  changes.
 - window pre-probe (before any timed work): hw md5 8->32 efficiency
   {r.get('preprobe_hw_md5_eff_8_to_32', 'n/a')}{' — **DEGRADED window** (< 0.45): this recording ran under heavy host contention and its absolute numbers are suspect' if r.get('window_degraded') else ''}.
   A probe under 0.45 refuses the run entirely under

@@ -91,3 +91,21 @@ def test_attempts_row_renders_old_windows_without_hw_2_8():
     if sec:
         header = [l for l in sec.splitlines() if l.startswith("| attempt")][0]
         assert header.count("|") == 8  # 7 columns share 8 pipe separators
+
+
+def test_plan_normalization_strips_run_dependent_ids():
+    """The plan fingerprint must not vary with expression ids, plan ids,
+    RDD ids or node ordinals — the run-dependent tokens observed in real
+    formatted explains — while still distinguishing actual plan changes
+    (a different join strategy)."""
+    import bench
+
+    a = """(1) BroadcastHashJoin [plan_id=33]
+Arguments: [cell#12L, url#13], MapPartitionsRDD[6] at applySchemaToPythonRDD
+(2) Exchange hashpartitioning(cell#12L, 64), [id=#45]"""
+    b = """(7) BroadcastHashJoin [plan_id=73]
+Arguments: [cell#98L, url#99], MapPartitionsRDD[18] at applySchemaToPythonRDD
+(9) Exchange hashpartitioning(cell#98L, 64), [id=#88]"""
+    c = a.replace("BroadcastHashJoin", "SortMergeJoin")
+    assert bench._normalize_plan(a) == bench._normalize_plan(b)
+    assert bench._normalize_plan(a) != bench._normalize_plan(c)
