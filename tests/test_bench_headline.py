@@ -109,3 +109,20 @@ Arguments: [cell#98L, url#99], MapPartitionsRDD[18] at applySchemaToPythonRDD
     c = a.replace("BroadcastHashJoin", "SortMergeJoin")
     assert bench._normalize_plan(a) == bench._normalize_plan(b)
     assert bench._normalize_plan(a) != bench._normalize_plan(c)
+
+
+def test_plan_normalization_strips_reflection_callsite():
+    """JDK reflection inflation flips the createDataFrame RDD callsite
+    from NativeMethodAccessorImpl.java:0 to <unknown>:0 partway through
+    a process (~15 reflective calls) — the observed cause of the
+    r5_attempt4 vs r5_attempt5/6 fingerprint split on an identical
+    plan. Both callsite forms must normalize identically."""
+    import bench
+
+    a = ("Arguments: [cell#12L], MapPartitionsRDD[6] at "
+         "applySchemaToPythonRDD at NativeMethodAccessorImpl.java:0, "
+         "ExistingRDD, UnknownPartitioning(0)")
+    b = ("Arguments: [cell#98L], MapPartitionsRDD[18] at "
+         "applySchemaToPythonRDD at <unknown>:0, "
+         "ExistingRDD, UnknownPartitioning(0)")
+    assert bench._normalize_plan(a) == bench._normalize_plan(b)
