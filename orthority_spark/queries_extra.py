@@ -14,6 +14,7 @@ from .oracle import dlit
 from .queries_geo import pages_cte, pages_cells, _pip_oracle
 from .queries_rel import _CENTS
 from .sources import footprints as fp
+from .sources.local import local_table
 
 
 # ---------------------------------------------------------------------------
@@ -534,7 +535,8 @@ def q_ray_dem_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .geom.dem import ray_march_params
 
-    rays = spark.createDataFrame(
+    rays = local_table(
+        spark,
         _ray_params(),
         "filename string, pt int, dx double, dy double, dz double, "
         "tx double, ty double, tz double",
@@ -936,7 +938,8 @@ def q_fit_exterior(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (n, k, float(ji[0, k]), float(ji[1, k]),
                  float(xyz[0, k]), float(xyz[1, k]), float(xyz[2, k]))
             )
-    gcps = spark.createDataFrame(
+    gcps = local_table(
+        spark,
         rows,
         "filename string, gcp_id int, j double, i double, "
         "x double, y double, z double",

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..geom.dem import DEM_OFFSET, DEM_RES, dem_sinusoid
+from .local import local_table
 
 TILE = 64
 
@@ -53,7 +54,8 @@ def build_dem_tiles(
         for r in range(0, n_rows, tile)
         for c in range(0, n_cols, tile)
     ]
-    meta_df = spark.createDataFrame(
+    meta_df = local_table(
+        spark,
         meta,
         "dem_tile_id string, band int, row_off int, col_off int, "
         "height int, width int",

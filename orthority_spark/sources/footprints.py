@@ -30,6 +30,7 @@ from ..geom.boundary import (
     gsd,
 )
 from ..geom.dem import DEM_OFFSET
+from .local import local_table
 
 D2R = np.pi / 180.0
 
@@ -146,14 +147,16 @@ def records_for_models(
 
 def footprint_edges_df(spark: SparkSession, recs: dict | None = None) -> DataFrame:
     recs = recs or footprint_records()
-    return spark.createDataFrame(
-        recs["edges"], "filename string, x1 double, y1 double, x2 double, y2 double"
+    return local_table(
+        spark,
+        recs["edges"],
+        "filename string, x1 double, y1 double, x2 double, y2 double",
     )
 
 
 def footprint_cells_df(spark: SparkSession, recs: dict | None = None) -> DataFrame:
     recs = recs or footprint_records()
-    return spark.createDataFrame(recs["cells"], "filename string, cell long")
+    return local_table(spark, recs["cells"], "filename string, cell long")
 
 
 def footprint_catalog_df(spark: SparkSession, recs: dict | None = None) -> DataFrame:
@@ -170,7 +173,8 @@ def footprint_catalog_df(spark: SparkSession, recs: dict | None = None) -> DataF
         (n, c, sorted(edges_by_name[n], key=lambda e: (e["x1"], e["y1"])))
         for n, c in recs["cells"]
     ]
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         rows,
         "filename string, cell long, edges array<struct<x1: double, "
         "y1: double, x2: double, y2: double>>",
@@ -207,12 +211,13 @@ def footprint_catalog_flat_df(
         f"e{k}_{i} double" for i in range(n_edges)
         for k in ("x1", "y1", "x2", "y2")
     )
-    return spark.createDataFrame(rows, schema)
+    return local_table(spark, rows, schema)
 
 
 def footprint_summary_df(spark: SparkSession, recs: dict | None = None) -> DataFrame:
     recs = recs or footprint_records()
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         recs["summary"],
         "filename string, cam_type string, xmin double, ymin double, "
         "xmax double, ymax double, cx double, cy double, gsd double",
