@@ -797,21 +797,26 @@ def _attempts_section(current: dict) -> str:
         (None, "r%s_full.json (primary)" % rnd)
     ]:
         d = current if p is None else json.load(open(p))
+        fp12 = (d.get("pipeline_plan_fingerprint") or "n/a")[:12]
         rows.append(
             f"| {label} | {d['value']} | {d['scaling_efficiency_2_to_8']} | "
             f"{d['scaling_efficiency_2_to_8_median']} | "
             f"{d['scaling_efficiency_2_to_8_marginal']} | "
             f"{d.get('hw_md5_eff_2_to_8', 'n/a')} | "
-            f"{d['hw_md5_eff_8_to_32']} |"
+            f"{d['hw_md5_eff_8_to_32']} | {fp12} |"
         )
     return (
         "\n## All recorded attempts this round\n\n"
         "Fresh full bench runs in different windows of this drifting VM "
         "(each archived verbatim); the primary recording above is one of "
         "them, chosen for the strongest RAW 2->8 number — every other "
-        "window is equally inspectable:\n\n"
+        "window is equally inspectable. The plan-fp column shows which "
+        "physical plan each window ran (normalized text under "
+        "BENCH/plans/; differing fps mean a deliberate plan change "
+        "mid-round, not noise):\n\n"
         "| attempt | steady local[%s] s | 2->8 raw | median | marginal | "
-        "hw md5 2->8 | hw md5 8->32 |\n|---|---|---|---|---|---|---|\n" % CPUS
+        "hw md5 2->8 | hw md5 8->32 | plan fp |\n"
+        "|---|---|---|---|---|---|---|---|\n" % CPUS
         + "\n".join(rows)
         + "\n"
     )

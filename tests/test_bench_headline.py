@@ -87,10 +87,10 @@ def test_attempts_row_renders_old_windows_without_hw_2_8():
     # the real renderer: current-run path exercises the same f-string
     sec = bench._attempts_section(new)
     # with archives present on disk the section must include a header
-    # with seven columns and never raise on pre-probe-era files
+    # with eight columns and never raise on pre-probe-era files
     if sec:
         header = [l for l in sec.splitlines() if l.startswith("| attempt")][0]
-        assert header.count("|") == 8  # 7 columns share 8 pipe separators
+        assert header.count("|") == 9  # 8 columns share 9 pipe separators
 
 
 def test_plan_normalization_strips_run_dependent_ids():
