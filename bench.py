@@ -788,7 +788,8 @@ def _attempts_section(current: dict) -> str:
     host, not just the chosen window."""
     rnd = _round_number()
     paths = sorted(
-        _glob.glob(os.path.join(REPO_DIR, "BENCH", f"r{rnd}_attempt*.json"))
+        _glob.glob(os.path.join(REPO_DIR, "BENCH", f"r{rnd}_attempt*.json")),
+        key=lambda p: int(_re.search(r"attempt(\d+)", p).group(1)),
     )
     if not paths:
         return ""
