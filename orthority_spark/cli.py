@@ -124,6 +124,7 @@ def cmd_rpc_refine(args) -> int:
 
     from .operators.fit import refine_per_image
     from .sources.footprints import fixture_rpc_model
+    from .sources.local import local_table
     from .sources.param_io import read_gcps_geojson
 
     spark = _spark(args)
@@ -135,7 +136,8 @@ def cmd_rpc_refine(args) -> int:
         rows.append(
             (g["filename"], g["j"], g["i"], float(pred[0, 0]), float(pred[1, 0]))
         )
-    df = spark.createDataFrame(
+    df = local_table(
+        spark,
         rows,
         "filename string, j_obs double, i_obs double, j_pred double, i_pred double",
     )
@@ -177,6 +179,7 @@ def cmd_knn(args) -> int:
 def cmd_fit(args) -> int:
     """Fit per-image exterior poses from GCPs (distributed solvePnP)."""
     from .operators.fit import fit_exterior_per_image
+    from .sources.local import local_table
     from .sources.param_io import (
         OPT_FRAME_KEYS,
         read_gcps_geojson,
@@ -201,7 +204,8 @@ def cmd_fit(args) -> int:
         dist={k: v for k, v in ip.items() if k in dist_keys},
     )
     gcps = read_gcps_geojson(args.gcps)
-    df = spark.createDataFrame(
+    df = local_table(
+        spark,
         [(g["filename"], g["j"], g["i"], g["x"], g["y"], g["z"]) for g in gcps],
         "filename string, j double, i double, x double, y double, z double",
     )
