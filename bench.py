@@ -615,9 +615,17 @@ def _round_windows(current: dict) -> list[dict]:
     """Every archived attempt window of this round plus the current
     recording — the across-window distribution the headline claim is
     generated from (ADVICE r4: never headline the strongest draw). The
-    current recording is dropped if it is byte-identical to an archived
-    attempt (the end-of-round flow restores the chosen primary from its
-    attempt archive, which must not double-count that window)."""
+    current recording is dropped if it is the same physical run as an
+    archived attempt (the end-of-round flow restores the chosen primary
+    from its attempt archive, which must not double-count that window).
+    Run identity is the raw per-round timing arrays — unique per run,
+    and stable under annotation / added keys / re-rounded derived fields
+    in either copy, where whole-dict equality would silently
+    double-count the strongest draw."""
+
+    def _window_key(w: dict) -> str:
+        return json.dumps(w.get("pipeline_rounds_sec"), sort_keys=True)
+
     rnd = _round_number()
     wins = [
         json.load(open(p))
@@ -625,13 +633,9 @@ def _round_windows(current: dict) -> list[dict]:
             _glob.glob(os.path.join(REPO_DIR, "BENCH", f"r{rnd}_attempt*.json"))
         )
     ]
-    if not any(w == current for w in wins):
+    if _window_key(current) not in {_window_key(w) for w in wins}:
         wins.append(current)
     return wins
-
-
-def _window_raw28s(current: dict) -> list[float]:
-    return [w["scaling_efficiency_2_to_8"] for w in _round_windows(current)]
 
 
 def _write_baseline_md(r: dict) -> None:
@@ -665,17 +669,29 @@ def _write_baseline_md(r: dict) -> None:
             for w in wins
             if w.get("scaling_efficiency_2_to_8_marginal") is not None
         ]
-        mmed = round(_median(mvals), 3) if mvals else None
-        mmet = sum(v >= 0.8 for v in mvals)
+        if mvals:
+            mmed = round(_median(mvals), 3)
+            mmet = sum(v >= 0.8 for v in mvals)
+            mclause = (
+                f"; the data-proportional estimator (fixed latency "
+                f"subtracted) has across-window median {mmed}, met in "
+                f"{mmet} of {len(mvals)} windows"
+            )
+        else:
+            # every window's fixed-latency probe degenerated (marginal
+            # estimator None throughout) — omit the clause rather than
+            # render "median None, met in 0 of 0 windows"
+            mclause = (
+                "; the data-proportional estimator degenerated in every "
+                "window (no usable fixed-latency probe) and is omitted"
+            )
         claim = (
             f"headline across ALL {len(wvals)} recorded windows this round "
             f"(not the best draw): raw 2->8 median {wmed}, range "
             f"{min(wvals)}-{max(wvals)} — the across-window median "
             f"{verdict} the >= 0.8 north-rule target, and the raw target "
-            f"is met in {met} of {len(wvals)} windows; the "
-            f"data-proportional estimator (fixed latency subtracted) has "
-            f"across-window median {mmed}, met in {mmet} of {len(mvals)} "
-            f"windows (per-window values in the attempts table below)."
+            f"is met in {met} of {len(wvals)} windows{mclause} "
+            f"(per-window values in the attempts table below)."
         )
     elif raw28 >= 0.8:
         claim = f"meets the >= 0.8 north-rule target on the raw numbers."
@@ -787,9 +803,16 @@ def _attempts_section(current: dict) -> str:
     the primary recording, one row each — the full picture on a drifting
     host, not just the chosen window."""
     rnd = _round_number()
+
+    def _idx(p: str):
+        # numeric order (attempt10 after attempt9); non-numeric names a
+        # human might drop in (attempt_old.json) sort last, never crash
+        m = _re.search(r"attempt(\d+)", p)
+        return (0, int(m.group(1)), p) if m else (1, 0, p)
+
     paths = sorted(
         _glob.glob(os.path.join(REPO_DIR, "BENCH", f"r{rnd}_attempt*.json")),
-        key=lambda p: int(_re.search(r"attempt(\d+)", p).group(1)),
+        key=_idx,
     )
     if not paths:
         return ""
@@ -812,9 +835,11 @@ def _attempts_section(current: dict) -> str:
         "(each archived verbatim); the primary recording above is one of "
         "them, chosen for the strongest RAW 2->8 number — every other "
         "window is equally inspectable. The plan-fp column shows which "
-        "physical plan each window ran (normalized text under "
-        "BENCH/plans/; differing fps mean a deliberate plan change "
-        "mid-round, not noise):\n\n"
+        "physical plan each window ran; for fps with normalized text "
+        "archived under BENCH/plans/ a difference is a diffable plan "
+        "change. (r5 windows 4-6 carry pre-v2-normalization fps that "
+        "differ only by a since-fixed callsite artifact on an identical "
+        "plan — NOTES_r5 section 9):\n\n"
         "| attempt | steady local[%s] s | 2->8 raw | median | marginal | "
         "hw md5 2->8 | hw md5 8->32 | plan fp |\n"
         "|---|---|---|---|---|---|---|---|\n" % CPUS

@@ -31,9 +31,26 @@ def local_table(
 
     ``schema`` is a DDL string or StructType; column names come from it.
     Values must already match the declared types (the same contract as
-    ``createDataFrame(rows, ddl)`` — this is a drop-in replacement for
-    that call shape, minus the Python-RDD scan).
+    ``createDataFrame(rows, ddl)`` for NaN-free input — this is a
+    drop-in replacement for that call shape, minus the Python-RDD scan).
+
+    One deliberate difference from the RDD path: Arrow's pandas
+    conversion reads float NaN as MISSING (SQL NULL), while
+    ``createDataFrame(rows, ddl)`` keeps it as NaN — and this engine's
+    oracle gates are NaN-vs-NULL exact. No builder routed through here
+    produces NaN; rather than silently change row semantics, a NaN in
+    the input fails loudly.
     """
+    rows = list(rows)
+    for r in rows:
+        for v in r:
+            if isinstance(v, float) and v != v:
+                raise ValueError(
+                    "local_table: float NaN would silently become SQL "
+                    "NULL under the Arrow path (NaN-vs-NULL semantics "
+                    "differ from createDataFrame(rows, ddl)); use "
+                    "spark.createDataFrame for NaN-bearing tables"
+                )
     st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
-    pdf = pd.DataFrame(list(rows), columns=st.names)
+    pdf = pd.DataFrame(rows, columns=st.names)
     return spark.createDataFrame(pdf, schema=st)

@@ -38,6 +38,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("orthority-pipeline").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # local_table builds dimension tables via pandas+Arrow; without this
+    # conf (default false) createDataFrame(pandas) falls back to the
+    # Python-RDD path and the plan loses its LocalTableScan shape
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     from orthority_spark.functions import checksum
     from orthority_spark.functions.geotag import with_geotag

@@ -58,3 +58,22 @@ def test_local_table_int_columns_stay_int(spark):
     )
     assert df.schema.simpleString() == "struct<tile_id:string,band:int,width:int>"
     assert df.collect() == [("t", 1, 64)]
+
+
+def test_local_table_rejects_nan_loudly(spark):
+    # Arrow's pandas conversion reads float NaN as SQL NULL, which would
+    # silently diverge from the createDataFrame(rows, ddl) contract this
+    # builder replaces (NaN-vs-NULL exactness matters to the oracle
+    # gates) — a NaN input must fail loudly, never convert
+    import pytest
+
+    with pytest.raises(ValueError, match="NaN"):
+        local_table(spark, [("a", float("nan"))], "name string, v double")
+
+
+def test_local_table_none_stays_null(spark):
+    # real NULLs (Python None) are fine and round-trip as NULL on both
+    # paths — only NaN is ambiguous under Arrow
+    got = local_table(spark, [("a", None), ("b", 2.0)], "name string, v double")
+    ref = spark.createDataFrame([("a", None), ("b", 2.0)], "name string, v double")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
