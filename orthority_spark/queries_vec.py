@@ -546,6 +546,49 @@ WHERE e.vec_id NOT IN (
 )"""
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE dup-cluster canonicalization: every corpus vector
+    labelled with the minimum vec_id of its connected component in the
+    banded-LSH near-dup pair graph. This is the closure the pair-based
+    keep-rule (embedding_dedup_keep) does not compute: with detected
+    pairs (1,3) and (2,3), the pair rule keeps both 1 and 2; the cluster
+    rule canonicalizes 2 -> 1 because they are connected through 3.
+    Plan: bucketed pair detection (never all-pairs) -> O(log diameter)
+    min-label + pointer-jump iterations of equi-joins (operators/cc.py);
+    output is O(N) rows regardless of dup-cluster size."""
+    from .operators.cc import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    pairs = q_embedding_neardups_bucketed(spark, sf_dir)
+    lab = connected_components(
+        nodes, pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b"
+    )
+    return lab.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("canonical_id"),
+    )
+
+
+def o_embedding_dup_clusters() -> str:
+    # transitive closure by recursive min-ancestor reachability: reach
+    # holds every (node, reachable node) pair of the undirected pair
+    # graph (UNION dedups, so it terminates); MIN over the closure is
+    # the component minimum. Isolated vectors reach only themselves.
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT vec_a AS n, vec_b AS m FROM ({o_embedding_neardups_bucketed()}) p
+  UNION
+  SELECT vec_b AS n, vec_a AS m FROM ({o_embedding_neardups_bucketed()}) p
+),
+reach(n, anc) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.n, r.anc FROM edges e JOIN reach r ON r.n = e.m
+)
+SELECT n AS vec_id, MIN(anc) AS canonical_id FROM reach GROUP BY n"""
+
+
 QUERIES = {
     "ann_topk": (q_ann_topk, o_ann_topk),
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
@@ -557,4 +600,8 @@ QUERIES = {
     "label_centroid_norms": (q_label_centroid_norms, o_label_centroid_norms),
     "ann_ivf": (q_ann_ivf, o_ann_ivf),
     "embedding_dedup_keep": (q_embedding_dedup_keep, o_embedding_dedup_keep),
+    "embedding_dup_clusters": (
+        q_embedding_dup_clusters,
+        o_embedding_dup_clusters,
+    ),
 }

@@ -114,6 +114,11 @@ DEMOTED = [
     # pair detection) — the shape downstream training stages consume;
     # full DuckDB parity, family gated by embedding_neardups_bucketed
     "embedding_dedup_keep",
+    # r5-new: transitive dup-cluster canonicalization (connected
+    # components over the bucketed pair graph, operators/cc.py) — the
+    # closure the pair-based keep-rule can't express; full DuckDB parity
+    # (recursive-CTE closure), family gated by embedding_neardups_bucketed
+    "embedding_dup_clusters",
     # r5 swap-outs (VERDICT r4 #6): built-in-dominated relational gates —
     # their slots went to the r4-new repetition_ratio / host_stats
     # training-data families; both keep full DuckDB parity here
