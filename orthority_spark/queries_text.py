@@ -874,6 +874,50 @@ SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
 FROM pages GROUP BY host"""
 
 
+def q_text_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE dup-cluster canonicalization for the TEXT corpus:
+    every document labelled with the minimum doc_id of its connected
+    component in the jaccard-verified LSH near-dup pair graph — the
+    text twin of embedding_dup_clusters. The pair-based drop rule in
+    corpus_clean is not transitive (pairs (1,3),(2,3) keep both 1 and
+    2); this closure canonicalizes the whole chain to one survivor.
+    Plan: LSH candidates -> candidates-only Jaccard verify (never
+    all-pairs) -> O(log diameter) min-label + pointer-jump equi-join
+    iterations (operators/cc.py); O(N) output rows regardless of
+    dup-cluster size."""
+    from .operators.cc import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    pairs = q_jaccard_neardups_lsh(spark, sf_dir)
+    lab = connected_components(
+        nodes, pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
+    )
+    return lab.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+    )
+
+
+def o_text_dup_clusters() -> str:
+    # same recursive min-ancestor closure as o_embedding_dup_clusters:
+    # reach holds every (node, reachable node) pair of the undirected
+    # near-dup graph (UNION dedups, so it terminates); MIN over the
+    # closure is the component minimum. Isolated docs reach themselves.
+    return f"""
+WITH RECURSIVE pair_edges AS (
+  SELECT doc_a AS n, doc_b AS m FROM ({o_jaccard_neardups_lsh()}) p
+  UNION
+  SELECT doc_b AS n, doc_a AS m FROM ({o_jaccard_neardups_lsh()}) p
+),
+reach(n, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.n, r.anc FROM pair_edges e JOIN reach r ON r.n = e.m
+)
+SELECT n AS doc_id, MIN(anc) AS canonical_id FROM reach GROUP BY n"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, o_dedup_exact),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
@@ -893,4 +937,5 @@ QUERIES = {
     "stream_dedup": (q_stream_dedup, o_stream_dedup),
     "repetition_ratio": (q_repetition_ratio, o_repetition_ratio),
     "host_stats": (q_host_stats, o_host_stats),
+    "text_dup_clusters": (q_text_dup_clusters, o_text_dup_clusters),
 }

@@ -119,6 +119,10 @@ DEMOTED = [
     # closure the pair-based keep-rule can't express; full DuckDB parity
     # (recursive-CTE closure), family gated by embedding_neardups_bucketed
     "embedding_dup_clusters",
+    # r5-new: the TEXT-corpus twin of embedding_dup_clusters (connected
+    # components over the jaccard-verified LSH pair graph); full DuckDB
+    # parity, family gated by jaccard_neardups_lsh + corpus_clean
+    "text_dup_clusters",
     # r5 swap-outs (VERDICT r4 #6): built-in-dominated relational gates —
     # their slots went to the r4-new repetition_ratio / host_stats
     # training-data families; both keep full DuckDB parity here

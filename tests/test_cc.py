@@ -103,3 +103,26 @@ def test_gate_consistent_with_pairs(spark):
     for n, c in lab.items():
         assert lab[c] == c
         assert c <= n
+
+
+def test_text_gate_consistent_with_pairs(spark):
+    # the text twin: every jaccard-verified near-dup pair shares a
+    # canonical id; canonical ids are self-canonical cluster minima
+    from orthority_spark.queries_text import (
+        q_jaccard_neardups_lsh,
+        q_text_dup_clusters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    lab = {
+        r.doc_id: r.canonical_id
+        for r in q_text_dup_clusters(spark, sf_dir).collect()
+    }
+    pairs = q_jaccard_neardups_lsh(spark, sf_dir).collect()
+    assert len(lab) > 0
+    for p in pairs:
+        assert lab[p.doc_a] == lab[p.doc_b]
+        assert lab[p.doc_a] <= min(p.doc_a, p.doc_b)
+    for n, c in lab.items():
+        assert lab[c] == c
+        assert c <= n
