@@ -50,7 +50,10 @@ def connected_components(
     """Label every node with the MINIMUM node id reachable from it.
 
     ``nodes``: one column ``node`` (every vertex, including isolated
-    ones — they come back labelled with themselves). ``edges``: columns
+    ones — they come back labelled with themselves; ``nodes`` is the
+    vertex universe, so an edge endpoint missing from it is silently
+    ignored — both gate callers derive edges from the same corpus scan,
+    which guarantees containment). ``edges``: columns
     ``src``/``dst``, undirected (direction and duplicates don't matter).
     Returns (node, comp) with comp = min id of the node's component —
     deterministic, so oracle-checkable exactly.
