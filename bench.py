@@ -415,15 +415,26 @@ def main() -> None:
     # records numbers dominated by host contention. Flag it in the
     # artifact always; REFUSE the run under BENCH_STRICT_WINDOW=1 (the
     # manual-attempt mode — the driver's unattended run must still
-    # produce a headline, so it only flags).
+    # produce a headline, so it only flags). Strict mode decides on the
+    # MEDIAN of three probes: a single probe on this VM swings ~0.1
+    # between back-to-back runs (r5: 0.504 then 0.414 one minute apart),
+    # so a one-shot gate refuses healthy windows and passes degraded
+    # ones on probe noise alone; the driver's flag-only path keeps the
+    # single probe (its flag is advisory and its runtime budget fixed).
     pre = hw_calibration()
     pre_eff = pre["hw_md5_eff_8_to_32"]
+    pre_probes = [pre_eff]
+    if os.environ.get("BENCH_STRICT_WINDOW"):
+        for _ in range(2):
+            pre_probes.append(hw_calibration()["hw_md5_eff_8_to_32"])
+        pre_eff = _median(pre_probes)
     window_degraded = pre_eff < 0.45
     if window_degraded and os.environ.get("BENCH_STRICT_WINDOW"):
         skip = {
             "metric": "bench window skipped: pre-probe hw md5 8->32 "
-                      "efficiency under 0.45",
+                      "efficiency under 0.45 (median of 3 probes)",
             "value": pre_eff,
+            "probes": pre_probes,
             "unit": "efficiency",
             "skipped": True,
         }
