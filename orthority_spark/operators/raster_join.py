@@ -111,27 +111,45 @@ def two_phase_prune(
     return phase2, z_min, z_max
 
 
-def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
+def sample_dem_z(
+    points: DataFrame,
+    dem: DataFrame,
+    band: int = 1,
+    max_broadcast_bytes: int = 256 << 20,
+) -> DataFrame:
     """Per-point bilinear z sample from the owning DEM tile.
 
-    points(url, px, py) equi-join on the computed tile key (no range
-    join needed — the affine is invertible), then an Arrow batch kernel
-    interpolates inside the block. Points whose 2x2 bilinear stencil
-    crosses a tile border fall back to nearest-cell within the tile
-    (documented tolerance; halo-tiled DEM removes this at scale)."""
+    Two plans with identical results (r6 optimization, guide §2.4/§3.1):
+
+    - **broadcast gather** (default whenever the band's blocks fit in
+      ``max_broadcast_bytes``): the tile blocks are collected once and
+      broadcast; a single ``mapInPandas`` pass over the points computes
+      the owning tile, the extent mask and the bilinear blend — ZERO
+      shuffles and full scan-stage parallelism. A DEM raster is metadata
+      next to a 10^12-point table, the classic broadcast side; the r5
+      cogroup plan funnelled every point through an Exchange into one
+      task per tile (6 tasks for the fixture DEM at local[32]) and its
+      pushed-down extent filter re-evaluated the page-derivation regexp
+      four times per row.
+    - **cogroup gather** (fallback past the guard): the r5 plan — points
+      equi-joined to their owning tile key, Arrow cogroup kernel per
+      tile group; the 16 KB block crosses the shuffle once per tile.
+
+    Points whose 2x2 bilinear stencil crosses a tile border fall back to
+    nearest-cell within the tile (documented tolerance; halo-tiled DEM
+    removes this at scale)."""
     d = dem.where(F.col("band") == band)
-    # ONE driver-side metadata job for the (constant) affine + extents —
-    # a separate first() would scan the tile table twice. first() in an
-    # unordered agg is only sound because every tile of the band shares
-    # one affine; countDistinct makes a mixed-transform DEM fail loudly
-    # instead of silently sampling against an arbitrary tile's affine
-    # (ADVICE r4).
+    # ONE driver-side metadata job (no blocks) for the (constant) affine
+    # + extents + the broadcast-size estimate; countDistinct on the
+    # transforms makes a mixed-transform DEM fail loudly instead of
+    # silently sampling against an arbitrary tile's affine (ADVICE r4).
     ext = d.agg(
         F.first("transform").alias("t"),
         F.countDistinct("transform").alias("nt"),
         F.max("height").alias("h"),
         F.max(F.col("col_off") + F.col("width")).alias("nc"),
         F.max(F.col("row_off") + F.col("height")).alias("nr"),
+        F.sum(F.col("height").cast("long") * F.col("width")).alias("cells"),
     ).first()
     if ext.nt != 1:
         raise ValueError(
@@ -140,6 +158,93 @@ def sample_dem_z(points: DataFrame, dem: DataFrame, band: int = 1) -> DataFrame:
         )
     a, _, c, _, e, f0 = ext.t
     tile, ncols, nrows = int(ext.h), int(ext.nc), int(ext.nr)
+    if int(ext.cells) * 8 <= max_broadcast_bytes:
+        return _sample_dem_z_broadcast(
+            points, d, a, c, e, f0, tile, ncols, nrows
+        )
+    return _sample_dem_z_cogroup(points, d, a, c, e, f0, tile, ncols, nrows)
+
+
+def _sample_dem_z_broadcast(
+    points: DataFrame, d: DataFrame,
+    a: float, c: float, e: float, f0: float,
+    tile: int, ncols: int, nrows: int,
+) -> DataFrame:
+    """Broadcast-DEM mapInPandas gather: no shuffle, no join; the extent
+    mask and tile ownership are computed inside the kernel (keeping the
+    bounds out of the Spark plan also stops predicate pushdown from
+    re-inlining the upstream projection into a 4x-duplicated filter)."""
+    rows = d.select(
+        "dem_tile_id", "row_off", "col_off", "height", "width", "block"
+    ).collect()
+    blocks = {
+        r.dem_tile_id: np.asarray(r.block, dtype="float64").reshape(
+            r.height, r.width
+        )
+        for r in rows
+    }
+    bc = points.sparkSession.sparkContext.broadcast(blocks)
+
+    def gather(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tiles = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            px = pdf["px"].to_numpy(dtype="float64")
+            py = pdf["py"].to_numpy(dtype="float64")
+            gcol = np.floor((px - c) / a)
+            grow = np.floor((py - f0) / e)
+            m = (gcol >= 0) & (gcol < ncols) & (grow >= 0) & (grow < nrows)
+            if not m.any():
+                yield pd.DataFrame(
+                    {"url": pd.Series(dtype="object"),
+                     "z": pd.Series(dtype="float64")}
+                )
+                continue
+            px, py = px[m], py[m]
+            urls = pdf["url"].to_numpy()[m]
+            gci = gcol[m].astype("int64")
+            gri = grow[m].astype("int64")
+            col_off = gci - gci % tile
+            row_off = gri - gri % tile
+            z = np.empty(len(px), dtype="float64")
+            tkey = row_off * (ncols + tile) + col_off
+            for k in np.unique(tkey):
+                sel = tkey == k
+                ro, co = int(row_off[sel][0]), int(col_off[sel][0])
+                blk = tiles[f"{ro}:{co}"]
+                h, w = blk.shape
+                # identical arithmetic to the cogroup kernel (bit-exact)
+                fc = (px[sel] - c) / a - 0.5 - co
+                fr = (py[sel] - f0) / e - 0.5 - ro
+                c0 = np.floor(fc).astype("int64")
+                r0 = np.floor(fr).astype("int64")
+                interior = (c0 >= 0) & (c0 < w - 1) & (r0 >= 0) & (r0 < h - 1)
+                cc = np.clip(c0, 0, w - 2)
+                rc = np.clip(r0, 0, h - 2)
+                wc, wr = fc - c0, fr - r0
+                z_bi = (
+                    blk[rc, cc] * (1 - wr) * (1 - wc)
+                    + blk[rc, cc + 1] * (1 - wr) * wc
+                    + blk[rc + 1, cc] * wr * (1 - wc)
+                    + blk[rc + 1, cc + 1] * wr * wc
+                )
+                ci = np.clip(np.floor(fc + 0.5).astype("int64"), 0, w - 1)
+                ri = np.clip(np.floor(fr + 0.5).astype("int64"), 0, h - 1)
+                z[sel] = np.where(interior, z_bi, blk[ri, ci])
+            yield pd.DataFrame({"url": urls, "z": z})
+
+    return points.select("url", "px", "py").mapInPandas(
+        gather, schema="url string, z double"
+    )
+
+
+def _sample_dem_z_cogroup(
+    points: DataFrame, d: DataFrame,
+    a: float, c: float, e: float, f0: float,
+    tile: int, ncols: int, nrows: int,
+) -> DataFrame:
+    """The r5 cogroup plan, kept as the big-DEM fallback."""
     col = F.floor((F.col("px") - F.lit(c)) / F.lit(a)).cast("long")
     row = F.floor((F.col("py") - F.lit(f0)) / F.lit(e)).cast("long")
     # drop points outside the DEM grid BEFORE deriving the tile key:

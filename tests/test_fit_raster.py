@@ -390,3 +390,31 @@ def test_fit_frame_multiple_images_other_models(cam_type, dist):
         np.testing.assert_allclose(
             test_cam.pixel_to_world_z(grid_ji, 0.0), truth[name], atol=1.0
         )
+
+
+def test_sample_dem_z_broadcast_equals_cogroup(spark):
+    """r6: the broadcast-gather default and the cogroup fallback (forced
+    via max_broadcast_bytes=0) must return the identical point->z map,
+    bit for bit — including border-stencil fallback and out-of-extent
+    drops."""
+    dem = fixture_dem(spark)
+    rng = np.random.RandomState(11)
+    # mix of interior, tile-border-straddling and out-of-extent points
+    px = np.concatenate([
+        rng.uniform(18000, 23000, 200), [17999.0, 22800.5, 19919.99]
+    ])
+    py = np.concatenate([
+        rng.uniform(27500, 31500, 200), [31501.0, 27600.5, 29579.99]
+    ])
+    pts = spark.createDataFrame(
+        [(f"p{i}", float(x), float(y)) for i, (x, y) in enumerate(zip(px, py))],
+        "url string, px double, py double")
+    fast = {r.url: r.z for r in sample_dem_z(pts, dem, band=1).collect()}
+    slow = {
+        r.url: r.z
+        for r in sample_dem_z(
+            pts, dem, band=1, max_broadcast_bytes=0
+        ).collect()
+    }
+    assert fast == slow
+    assert len(fast) > 100  # in-extent points actually sampled
