@@ -38,12 +38,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _tokens(spark, sf_dir) -> DataFrame:
-    """(doc_id, token) distinct unigrams."""
+    """(doc_id, token) distinct unigrams.
+
+    r6: the per-doc dedup happens MAP-SIDE (array_distinct on the split
+    array before the explode) — the row set is identical to the old
+    explode-then-.distinct() plan (doc_id is part of the key), but the
+    full-corpus (doc_id, token) Exchange disappears; consumers now
+    aggregate straight off the scan stage."""
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .where(F.col("token") != "")
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.array_remove(F.split(F.col("text"), " "), ""))
+            ).alias("token"),
+        )
     )
 
 
@@ -60,7 +69,13 @@ def _shingles(spark, sf_dir) -> DataFrame:
 
     The token array is bound to a column FIRST so split() evaluates once
     per row — inlining it into the lambda re-evaluates the split per
-    subscript access."""
+    subscript access.
+
+    r6: the per-doc dedup happens MAP-SIDE (array_distinct on the
+    shingle array before the explode) — the row set is identical to the
+    old explode-then-.distinct() plan (doc_id is part of the key), but
+    the full-corpus (doc_id, sh) Exchange disappears from every
+    consumer (minhash, jaccard verify, contamination)."""
     return (
         _docs(spark, sf_dir)
         .withColumn("l", F.split(F.col("text"), " "))
@@ -68,13 +83,14 @@ def _shingles(spark, sf_dir) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l) - 3), "
-                    "i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(l) - 3), "
+                        "i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+                    )
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
 
 
@@ -125,20 +141,25 @@ _PERMS_VALUES = (
 )
 
 
-def _minhash_sigs(spark, sf_dir) -> DataFrame:
-    """(doc_id, perm, sig): min over shingles of (a*h31+b) % P31.
+def _minhash_wide(spark, sf_dir) -> DataFrame:
+    """(doc_id, s0..s{P-1}): one wide row per doc of all P minhash sigs.
 
     Column-wise plan: md5 is computed ONCE per shingle, the P permutation
     hashes are map-side arithmetic columns, and the min lands in one
     partial-aggregated groupBy — no row replication (a perms-join would
-    recompute the md5 P times and multiply the shuffle by P). The perm/sig
-    rows are restored with stack() after aggregation."""
+    recompute the md5 P times and multiply the shuffle by P)."""
     sh = _shingles(spark, sf_dir).withColumn("h", F.expr(_h31("sh")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"s{p}")
         for p, a, b in PERMS
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, perm, sig): the wide row restored to per-perm rows with
+    stack() after aggregation (map-side)."""
+    wide = _minhash_wide(spark, sf_dir)
     stack = ", ".join(f"{p}, s{p}" for p, _, _ in PERMS)
     return wide.select(
         "doc_id",
@@ -157,18 +178,24 @@ sigs AS (
 
 
 def _band_sigs(spark, sf_dir) -> DataFrame:
-    """(doc_id, band, band_sig): bands of 2 perms, arithmetic band key."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    return (
-        sigs.withColumn("band", F.expr("perm DIV 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.sum(
-                F.when(F.col("perm") % 2 == 0, F.col("sig") * F.lit(P31)).otherwise(
-                    F.col("sig")
-                )
-            ).alias("band_sig")
-        )
+    """(doc_id, band, band_sig): bands of 2 perms, arithmetic band key.
+
+    r6: band_sig(b) = s(2b) * P31 + s(2b+1) is computed straight off the
+    WIDE minhash row (one struct array + explode, map-side) instead of
+    stack() -> groupBy(doc_id, band) — same values (the old SUM over the
+    band's two stacked rows is exactly this two-term sum), one fewer
+    Exchange."""
+    wide = _minhash_wide(spark, sf_dir)
+    structs = ", ".join(
+        f"struct(CAST({b} AS BIGINT) AS band, "
+        f"(s{2 * b} * CAST({P31} AS BIGINT) + s{2 * b + 1}) AS band_sig)"
+        for b in range(N_PERMS // 2)
+    )
+    return wide.select(
+        "doc_id",
+        F.explode(F.expr(f"array({structs})")).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig")
     )
 
 
@@ -504,7 +531,6 @@ FROM documents"""
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: stopword ratio + distinct-token ratio."""
-    t = _tokens(spark, sf_dir)
     d = _docs(spark, sf_dir)
     stops = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
@@ -788,29 +814,28 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality family): per doc, the fraction of word-3-grams that repeat
     an earlier occurrence — (total - distinct) / total. High-ratio docs
     are the boilerplate/templated spam large-corpus quality rules drop.
-    One partial-agg per (doc, gram) then per doc — scales as a plain
-    two-level groupBy; exact integer counts, one double division with
-    identical operands on both engines."""
-    grams = (
+    r6: both counts collapse to MAP-SIDE array expressions — n_grams is
+    the size of the per-doc gram array, n_distinct the size of its
+    array_distinct — identical values to the old explode -> two-level
+    groupBy plan (sum of per-gram counts = total grams; count of groups
+    = distinct grams) with ZERO Exchanges and no row explosion; exact
+    integer counts, one double division with identical operands on both
+    engines."""
+    return (
         _docs(spark, sf_dir)
         .withColumn("l", F.split(F.col("text"), " "))
         .where(F.size("l") >= 3)
+        .withColumn(
+            "ga",
+            F.expr(
+                "transform(sequence(0, size(l) - 3), "
+                "i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+            ),
+        )
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(l) - 3), "
-                    "i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
-                )
-            ).alias("g"),
-        )
-    )
-    per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        per.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.count(F.lit(1)).alias("n_distinct"),
+            F.size("ga").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("ga")).cast("long").alias("n_distinct"),
         )
         .withColumn(
             "dup_ratio",
