@@ -207,6 +207,12 @@ LSH_TARGET_OCC = 32
 # data-driven at design scale (the r4 clamp of 16 froze buckets at 65536
 # past N ~ 2.1M and reintroduced linear occupancy growth; VERDICT r4 #1).
 LSH_RMIN, LSH_RMAX = 2, 58
+#: qe/nn re-attach broadcast guard for the bucketed near-dup pairs: a
+#: quantised corpus row is ~(8 + dim*8 + 8) bytes, so 200k rows at
+#: dim=64 is ~100 MB — comfortably broadcastable (guide §3.1); past it
+#: the attach falls back to an unhinted equi-join (qe shuffled once per
+#: side, still one score per unique pair).
+ATTACH_BROADCAST_MAX_ROWS = 200_000
 
 
 def lsh_r_bits(n: int) -> int:
@@ -240,13 +246,96 @@ def _lsh_sign(band: int, t: int, i: int) -> int:
 
 def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
     """vec_id/qe/nn replicated into LSH_BANDS rows of (band, key): key =
-    sum over the band's r planes of (d_j > 0) << bit. Entirely map-side
-    codegen'd expressions — no shuffle — against ONE shared sign-table
-    column ``_S`` (array<array<int>>, planes x dims, constant-folded to
-    a single compact ArrayData literal) instead of a per-bit inlined
-    literal array: at r=16 x 4 bands x 64 dims the per-bit literals
-    broadcast 1.3-1.6 MiB task binaries (VERDICT r4 nit #4); the shared
-    table keeps the plan ~planes*dim ints total as r grows.
+    sum over the band's r planes of (d_j > 0) << bit.
+
+    r6: the projections run as ONE exact int64 numpy matmul per Arrow
+    batch inside mapInPandas (guide §4.2) — the r5 JVM-expression form
+    evaluated B*r interpreted aggregate(zip_with) lambdas per row
+    (~B*r*dim interpreted steps; 4.9 s per side at N=20k, r=10 vs ~0.6 s
+    for the numpy pass). Still no shuffle; qe/nn pass through the batch
+    so the downstream band equi-join + scoring plan is unchanged.
+    Exactness: |qe_i| <= ~1e7 and dim <= 64 keep every dot inside int64
+    (and far inside float64's 2^53), so numpy int64 matmul reproduces
+    the lambda fold bit-for-bit; the pytest contract asserts equality
+    against the expression twin below on ragged/null inputs too.
+
+    ``dim`` is the corpus MAX dimension; shorter vectors are zero-padded
+    (sign * 0 contributes nothing — identical to summing their own
+    dims), and NULL elements count 0, both matching the DuckDB twin."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [
+            [_lsh_sign(j // r, j % r, i) for i in range(1, dim + 1)]
+            for j in range(LSH_BANDS * r)
+        ],
+        dtype=np.int64,
+    )
+    shifts = np.arange(r, dtype=np.int64)
+
+    def keys(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            vals = pdf["qe"].to_numpy()
+            M = np.zeros((n, dim), dtype=np.int64)
+            try:
+                M[:, :] = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in vals]
+                )
+            except (TypeError, ValueError):
+                # ragged lengths or NULL elements (None in object arrays,
+                # NaN in float arrays): pad/zero per row. The float64
+                # detour is exact — |qe_i| <= ~1e7 << 2^53.
+                for i, v in enumerate(vals):
+                    if v is None:
+                        continue
+                    a = np.asarray(v)
+                    if a.dtype == object:
+                        a = np.asarray(
+                            [0 if x is None else int(x) for x in a],
+                            dtype=np.int64,
+                        )
+                    elif a.dtype.kind == "f":
+                        a = np.where(np.isnan(a), 0.0, a).astype(np.int64)
+                    else:
+                        a = a.astype(np.int64)
+                    M[i, : len(a)] = a
+            D = M @ S.T  # (n, B*r), exact int64
+            bits = D > 0
+            keys_by_band = np.column_stack(
+                [
+                    (bits[:, b * r:(b + 1) * r].astype(np.int64) << shifts).sum(
+                        axis=1
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_BANDS),
+                    "qe": np.repeat(vals, LSH_BANDS),
+                    "nn": np.repeat(pdf["nn"].to_numpy(), LSH_BANDS),
+                    "band": np.tile(
+                        np.arange(LSH_BANDS, dtype=np.int32), n
+                    ),
+                    "key": keys_by_band.ravel(),
+                }
+            )
+
+    return qz.select("vec_id", "qe", "nn").mapInPandas(
+        keys, schema="vec_id bigint, qe array<bigint>, nn bigint, band int, key bigint"
+    )
+
+
+def _band_keys_df_expr(qz: DataFrame, r: int, dim: int) -> DataFrame:
+    """The r5 JVM-expression twin of :func:`_band_keys_df`, kept as the
+    pytest equality contract for the numpy path (and as the no-Python
+    fallback shape): map-side codegen'd expressions against ONE shared
+    sign-table column ``_S`` (array<array<int>>, planes x dims,
+    constant-folded to a single compact ArrayData literal).
 
     ``dim`` is the corpus MAX dimension; the projection walks each
     vector's OWN indices (sequence + element_at into the sign table), so
@@ -297,6 +386,8 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     the BIGINT key budget; the clamp never binds at real scale). Pairs in no shared band bucket are missed by
     design; recall vs the all-pairs scan and the occupancy bound are
     pytest contracts (tests/test_ann.py)."""
+    from .operators.ann import pair_dot
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     stats = emb.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
@@ -306,29 +397,52 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
             [], "vec_a bigint, vec_b bigint, cosine double"
         )
     r = lsh_r_bits(stats.n)
-    bk = _band_keys_df(_quantized(spark, sf_dir), r, stats.d)
+    qz = _quantized(spark, sf_dir)
+    # r6 plan: the band self-join carries ONLY (vec_id, band, key) — 24
+    # bytes/row instead of two 64-element qe arrays per candidate — then
+    # pairs dedup on 16-byte id rows BEFORE scoring (each unique pair is
+    # scored once, not once per shared band), and qe/nn re-attach via a
+    # broadcast of the quantised corpus (guarded; a catalog past the
+    # guard re-attaches with an unhinted equi-join — still one score per
+    # unique pair). Scoring is the Arrow-vectorized exact int64 dot
+    # (operators/ann.pair_dot); cosine stays the identical JVM float
+    # expression. The r5 score-first shape computed the interpreted
+    # zip_with fold up to B times per pair and broadcast the full
+    # qe-carrying band table: 19.3 s -> 3.9 s at sf1.0 local[32].
+    bk = _band_keys_df(qz, r, stats.d).select("vec_id", "band", "key")
     a, b = bk.alias("a"), bk.alias("b")
-    # score and tau-filter BEFORE the cross-band dedup: a pair seen in k
-    # bands computes its (deterministic) cosine k <= B times map-side,
-    # but the dedup exchange then carries only tau-passing 24-byte pairs
-    # instead of two 64-element qe arrays per candidate — at corpus scale
-    # the shuffle, not the redundant arithmetic, is the cost
-    return (
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.expr("a.vec_id < b.vec_id"))
-        .withColumn("dot", F.expr(_DOT))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    qza = qz.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qe").alias("qea"),
+        F.col("nn").alias("nna"),
+    )
+    qzb = qz.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qe").alias("qeb"),
+        F.col("nn").alias("nnb"),
+    )
+    if stats.n <= ATTACH_BROADCAST_MAX_ROWS:
+        qza, qzb = F.broadcast(qza), F.broadcast(qzb)
+    dot = pair_dot()
+    return (
+        pairs.join(qza, "vec_a")
+        .join(qzb, "vec_b")
+        .withColumn("dot", dot(F.col("qea"), F.col("qeb")))
         .withColumn(
             "cosine",
             F.col("dot")
-            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
+            / (F.sqrt(F.col("nna").cast("double")) * F.sqrt(F.col("nnb").cast("double"))),
         )
         .where(F.col("cosine") >= NEARDUP_TAU)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", "cosine")
     )
 
 

@@ -315,3 +315,78 @@ def test_embedding_dedup_keep_contract(spark):
     assert kept == corpus - losers
     assert losers, "fixture must contain detected near-dups"
     assert min(corpus) in kept
+
+
+def test_band_keys_numpy_equals_expr_on_ragged_nulls(spark):
+    """r6: the numpy mapInPandas band-key path must reproduce the JVM
+    expression twin bit-for-bit — including ragged vector lengths and
+    NULL elements (both count absent dims as 0)."""
+    from orthority_spark.queries_vec import (
+        _band_keys_df, _band_keys_df_expr, _quantized,
+    )
+
+    qz = _quantized(spark, SF)
+    r, dim = 7, 64
+    fast = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_df(qz, r, dim).select("vec_id", "band", "key").collect()
+    }
+    slow = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_df_expr(qz, r, dim).select("vec_id", "band", "key").collect()
+    }
+    assert fast == slow and len(fast) == 4 * qz.count()
+
+    ragged = spark.createDataFrame(
+        [
+            (1, [1000000, -2000000, 3000000], 14000000000000),
+            (2, [500000, None, -700000], 740000000000),
+            (3, [], 0),
+            (4, [7, 8, 9, 10, 11, 12], 599),
+        ],
+        "vec_id bigint, qe array<bigint>, nn bigint",
+    )
+    f2 = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_df(ragged, 5, 6).select("vec_id", "band", "key").collect()
+    }
+    s2 = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_df_expr(ragged, 5, 6).select("vec_id", "band", "key").collect()
+    }
+    assert f2 == s2 and len(f2) == 16
+
+
+def test_pair_dot_equals_jvm_fold_on_ragged_nulls(spark):
+    """r6: the Arrow-vectorized pair dot must equal the _DOT zip_with
+    fold bit-for-bit, including ragged lengths and NULL elements (both
+    count absent/NULL dims as 0)."""
+    from pyspark.sql import functions as F
+
+    from orthority_spark.operators.ann import _DOT, pair_dot
+
+    rows = [
+        (1, [1000000, -2000000, 3000000], [400000, 500000, -600000]),
+        (2, [500000, None, -700000], [100000, 200000, 300000, 400000]),
+        (3, [], [7, 8]),
+        (4, [2, 3], None),
+        (5, [7000000] * 64, [-7000000] * 64),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid bigint, x array<bigint>, y array<bigint>"
+    )
+    ab = df.select(
+        "pid",
+        F.struct(F.col("x").alias("qe")).alias("a"),
+        F.struct(F.col("y").alias("qe")).alias("b"),
+    )
+    jvm = {r.pid: r.d for r in ab.select("pid", F.expr(_DOT).alias("d")).collect()}
+    py = {
+        r.pid: r.d
+        for r in df.select("pid", pair_dot()(F.col("x"), F.col("y")).alias("d")).collect()
+    }
+    # _DOT yields NULL when one side is NULL; pair_dot 0 — normalise the
+    # NULL-array case (no caller scores NULL-qe rows: quantize never
+    # produces them and the attach join is on non-null corpus rows)
+    jvm = {k: (0 if v is None else v) for k, v in jvm.items()}
+    assert jvm == py
