@@ -15,7 +15,6 @@ ratios divide the identical integers in one fixed op sequence.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 _CENTS = "CAST(floor({col} * 100.0 + 0.5) AS BIGINT)"
@@ -101,7 +100,11 @@ SELECT user_id, CAST(rank AS INT) AS rank, event_id FROM (
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (J6): for each purchase, the latest view at-or-before it
-    by the same user — the cogrouped merge_asof Arrow-UDF pattern."""
+    by the same user — the cogrouped merge_asof Arrow-UDF pattern (r6:
+    hash-bucketed cogroup + merge_asof(by=user_id), one Python call per
+    bucket instead of one per user — operators/asof.py)."""
+    from .operators.asof import asof_join_cogroup
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
@@ -109,17 +112,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_event_id")
     )
-
-    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts")
-        right = right.sort_values("ts")
-        merged = pd.merge_asof(left, right, on="ts", direction="backward")
-        return merged[["event_id", "view_event_id"]]
-
-    return (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
-        .applyInPandas(asof, schema="event_id long, view_event_id long")
+    return asof_join_cogroup(
+        purchases, views, "user_id", "ts", ["event_id"], "view_event_id"
     )
 
 
