@@ -19,20 +19,26 @@ from pyspark.sql import Column, DataFrame, functions as F
 GEO_FLOAT_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
 # integer-microdegree form: geo:<lat_udeg>,<lon_udeg> (derived pages)
 GEO_INT_RE = r"geo:(-?\d+),(-?\d+)"
+# r6: single-group twins — ONE regexp execution extracts "lat,lon" and a
+# cheap split slices it (two regexp_extract calls each re-ran the full
+# match per row; codegen subexpression elimination does not merge
+# different group indices). Same regex language, same matched text, and
+# string->double/long casts of the identical substrings — bit-identical
+# columns (asserted in tests/test_pages.py).
+GEO_FLOAT_RE1 = r"geo:(-?\d+\.\d+,-?\d+\.\d+)"
+GEO_INT_RE1 = r"geo:(-?\d+,-?\d+)"
 
 
 def geotag_float(text: Column) -> tuple[Column, Column]:
     """(lat, lon) doubles parsed from the float geotag token."""
-    lat = F.regexp_extract(text, GEO_FLOAT_RE, 1).cast("double")
-    lon = F.regexp_extract(text, GEO_FLOAT_RE, 2).cast("double")
-    return lat, lon
+    m = F.split(F.regexp_extract(text, GEO_FLOAT_RE1, 1), ",")
+    return m.getItem(0).cast("double"), m.getItem(1).cast("double")
 
 
 def geotag_udeg(text: Column) -> tuple[Column, Column]:
     """(lat_udeg, lon_udeg) bigints parsed from the integer geotag token."""
-    lat = F.regexp_extract(text, GEO_INT_RE, 1).cast("long")
-    lon = F.regexp_extract(text, GEO_INT_RE, 2).cast("long")
-    return lat, lon
+    m = F.split(F.regexp_extract(text, GEO_INT_RE1, 1), ",")
+    return m.getItem(0).cast("long"), m.getItem(1).cast("long")
 
 
 def with_geotag(pages: DataFrame, token: str = "float") -> DataFrame:

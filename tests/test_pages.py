@@ -54,3 +54,44 @@ def test_schema(spark):
     ]
     kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert kinds["html"] == "binary" and kinds["warc_ts"] == "timestamp"
+
+
+def test_geotag_single_regex_bit_identical(spark):
+    """r6: the single-execution regexp+split geotag must equal the old
+    per-group two-regexp extraction bit-for-bit on both token forms."""
+    from pyspark.sql import functions as F
+
+    from orthority_spark.functions.geotag import (
+        GEO_FLOAT_RE, GEO_INT_RE, geotag_float, geotag_udeg,
+    )
+    from orthority_spark.sources.pages import synthetic_pages
+
+    sp = synthetic_pages(spark, 5000).select("url", "text")
+    lat_n, lon_n = geotag_float(F.col("text"))
+    cmp_f = sp.select(
+        lat_n.alias("a"),
+        F.regexp_extract("text", GEO_FLOAT_RE, 1).cast("double").alias("b"),
+        lon_n.alias("c"),
+        F.regexp_extract("text", GEO_FLOAT_RE, 2).cast("double").alias("d"),
+    ).where(
+        ~F.col("a").eqNullSafe(F.col("b"))
+        | ~F.col("c").eqNullSafe(F.col("d"))
+    )
+    assert cmp_f.count() == 0
+
+    import orthority_spark.queries_geo as qg
+
+    dp = qg.derived_pages(spark, "/root/testdata/sf0.01")
+    lat_u, lon_u = geotag_udeg(F.col("text"))
+    cmp_i = dp.select(
+        lat_u.alias("a"),
+        F.regexp_extract("text", GEO_INT_RE, 1).cast("long").alias("b"),
+        lon_u.alias("c"),
+        F.regexp_extract("text", GEO_INT_RE, 2).cast("long").alias("d"),
+    ).where(
+        ~F.col("a").eqNullSafe(F.col("b"))
+        | ~F.col("c").eqNullSafe(F.col("d"))
+    )
+    assert cmp_i.count() == 0
+    # (no-match rows are outside the contract either way: under ANSI mode
+    # the old two-regexp form threw on cast('') exactly like the new one)
