@@ -76,8 +76,15 @@ def _shingles(spark, sf_dir) -> DataFrame:
     old explode-then-.distinct() plan (doc_id is part of the key), but
     the full-corpus (doc_id, sh) Exchange disappears from every
     consumer (minhash, jaccard verify, contamination)."""
+    return _shingles_of(_docs(spark, sf_dir))
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """Shingles of an arbitrary (doc_id, text) frame — lets callers
+    pre-filter docs BEFORE the explode (the candidate-verify stage
+    shingles only LSH-candidate docs instead of the whole corpus)."""
     return (
-        _docs(spark, sf_dir)
+        docs
         .withColumn("l", F.split(F.col("text"), " "))
         .where(F.size("l") >= 3)  # short docs: no shingles, not a crash
         .select(
@@ -333,7 +340,6 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
@@ -343,9 +349,15 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for each of counts/a2/b2 (3x the document scan + regex); counts is
     # computed over candidate docs ONLY — na/nb are identical for every
     # pair that reaches the final join, and the agg input shrinks from
-    # the corpus to the candidate set
+    # the corpus to the candidate set. r6: the semi-join happens on the
+    # DOC rows, before the explode — the old shape exploded the whole
+    # corpus's shingles a second time and only then filtered (Catalyst
+    # does not push a semi-join below a Generate).
     shc = _persist_latest(
-        sh.join(cand_ids, "doc_id", "left_semi"), "jaccard_cand_shingles"
+        _shingles_of(
+            _docs(spark, sf_dir).join(cand_ids, "doc_id", "left_semi")
+        ),
+        "jaccard_cand_shingles",
     )
     counts = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a2 = shc.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -412,13 +424,24 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("doc_id")
     ).distinct()
     survivors = keep.join(losers, "doc_id", "left_anti")
-    # quality gate: >= 2 stopwords AND >= 20 tokens
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    stats = toks.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.col("tok").isin(STOPWORDS).cast("long")).alias("n_stop"),
+    # quality gate: >= 2 stopwords AND >= 20 tokens. r6: both counts are
+    # MAP-SIDE array expressions — n_tok counts non-empty tokens
+    # (size(array_remove)), n_stop counts stopword occurrences
+    # (size(filter)); identical values to the old explode ->
+    # groupBy(doc_id, lang) plan (stopwords are never the empty string,
+    # so counting them over all tokens equals counting over non-empty
+    # ones), with no row explosion and one less Exchange.
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stats = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(array_remove(split(text, ' '), '')) AS BIGINT)"
+        ).alias("n_tok"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), t -> t IN ({stop_list})))"
+            " AS BIGINT)"
+        ).alias("n_stop"),
     )
     clean = stats.join(survivors, "doc_id", "left_semi").where(
         (F.col("n_stop") >= 2) & (F.col("n_tok") >= 20)
@@ -621,11 +644,21 @@ def o_doc_fingerprint() -> str:
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index relevance: per-doc top-5 TF-IDF terms.
 
-    100 TB shape: tf is a partial-aggregated groupBy(doc, token); df is a
-    second partial agg over the tf table (no re-scan of text); the
-    df-join shuffles on the token key; ranking is one window per doc.
-    The idf float is absorbed to float32 so both engines rank on
-    identical keys (ties broken by token)."""
+    r6 plan: ONE scan — tf is a partial-aggregated groupBy(doc, token);
+    df rides the tf table as count(*) over a token-partitioned window
+    (df = number of tf rows per token, exactly the old groupBy(token)
+    count); ranking is one window per doc. The r5 shape computed the
+    whole scan+explode+tf subtree a SECOND time under the df aggregate
+    (runtime exchange reuse never fired for the broadcast-side twin) —
+    3.6 s vs 2.0 s at sf1.0. Caveat for Zipfian corpora: the df window
+    puts one hot token's tf rows in one partition; past that scale,
+    materialize tf (it is the inverted index, normally persisted anyway)
+    and broadcast the df aggregate instead — both shapes measured, the
+    cache barrier loses at every sandbox size. The idf float is absorbed
+    to float32 so both engines rank on identical keys (ties broken by
+    token)."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     toks = (
         docs.select(
@@ -634,10 +667,11 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token") != "")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "token")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(ndf))
         .withColumn(
             "tfidf",
@@ -647,8 +681,6 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token")
     )
