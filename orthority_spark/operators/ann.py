@@ -197,6 +197,17 @@ def assign_buckets(qz: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> Dat
             f"qe[{i}] * {float(c[i])!r}" for i in range(len(c)) if c[i] != 0.0
         )
         exprs.append(f"struct(({terms or '0.0'}) + {bias!r} AS score, {ci} AS bucket)")
+    if nprobe == 1:
+        # r6: argmax via greatest() — codegen'd struct max on
+        # (score, bucket), exactly the head of the reversed ascending
+        # sort (ties break to the HIGHER bucket in both forms). The
+        # array_sort form is CodegenFallback and re-evaluated the K x D
+        # score expressions interpreted (~1.8 s vs ~0.5 s at N=20k).
+        return qz.withColumn(
+            "b1", F.expr(f"greatest({', '.join(exprs)})")
+        ).select(
+            "vec_id", "label", "qe", "nn", F.col("b1.bucket").alias("bucket")
+        )
     top = (
         f"slice(reverse(array_sort(array({', '.join(exprs)}))), 1, {nprobe})"
     )
