@@ -30,7 +30,12 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # parallel_read: the fixture file is 1-2 row groups — without the
+    # scan-parallelism guard every shingle/md5 map stage ran on <= 2 of
+    # 32 cores (r6; sources/scan.py)
+    from .sources.scan import parallel_read
+
+    return parallel_read(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------

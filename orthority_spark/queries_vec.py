@@ -35,7 +35,10 @@ norms AS (SELECT vec_id, SUM(v * v) AS nn FROM u GROUP BY vec_id)"""
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # parallel_read: single-row-group fixture file — see sources/scan.py
+    from .sources.scan import parallel_read
+
+    emb = parallel_read(spark, f"{sf_dir}/embeddings.parquet")
     return emb.select(
         "vec_id",
         "label",

@@ -1,0 +1,35 @@
+"""Scan-parallelism guard (guide §2.5 "input skew" / §6.1).
+
+The sandbox test tables are single files with 1-7 parquet row groups, so
+a bare ``spark.read.parquet`` gives the whole map stage 1-7 tasks on a
+32-core session — the expensive per-row work (shingling, md5, regexp
+derivation, Arrow kernels) ran effectively single-threaded in r5. A
+cheap round-robin repartition of the pruned base columns unlocks full
+scan-stage parallelism for a few MB of shuffle.
+
+Scale-adaptive by construction: the guard fires only when the scan's
+NATURAL partition count is below the session's default parallelism, so a
+real cluster-scale table (thousands of row groups / files) is read
+as-is with zero extra shuffle — this is a small-input fix, not a
+constant tuned for local mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parallel_read(
+    spark: SparkSession, path: str, min_partitions: int | None = None
+) -> DataFrame:
+    """Parquet read whose map stage has at least ``min_partitions``
+    (default: the session's defaultParallelism) tasks; repartitions
+    round-robin only when the file layout provides fewer (values are
+    row-identical — only placement changes, and Spark's
+    sort-before-repartition keeps the assignment retry-deterministic)."""
+    df = spark.read.parquet(path)
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
