@@ -33,13 +33,12 @@ GEO_RE_SQL = r"'geo:(-?\d+),(-?\d+)'"
 # ---------------------------------------------------------------------------
 
 def derived_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallel_read: the fixture file is ~2 row groups, so the regexp
-    # derivation + every downstream Arrow kernel otherwise runs on a
-    # handful of the 32 cores; only the pruned o_orderkey column crosses
-    # the round-robin exchange (r6; sources/scan.py)
-    from .sources.scan import parallel_read
-
-    orders = parallel_read(spark, f"{sf_dir}/orders.parquet")
+    # no parallelism guard here: the orders fixture scans at ~7 tasks and
+    # the derivation is one concat projection — the guard's exchange
+    # measured as a net loss for the light consumers (host_stats,
+    # stratified_sample, rollup_pyramid); heavy consumers guard at their
+    # own map stage (sources/scan.ensure_parallelism)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     spec = derived_pages_sql("o_orderkey", "spark")
     return orders.select(
         F.expr(spec["url"]).alias("url"),

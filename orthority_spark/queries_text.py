@@ -30,12 +30,18 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallel_read: the fixture file is 1-2 row groups — without the
-    # scan-parallelism guard every shingle/md5 map stage ran on <= 2 of
-    # 32 cores (r6; sources/scan.py)
-    from .sources.scan import parallel_read
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    return parallel_read(spark, f"{sf_dir}/documents.parquet")
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc scan with the scan-parallelism guard — for HEAVY map
+    consumers only (shingling, per-token md5, tf explode): the fixture
+    file is 1-2 row groups, so unguarded map stages ran on <= 2 of 32
+    cores; light scan+agg queries skip the guard (its exchange costs
+    more than it buys there — sources/scan.py)."""
+    from .sources.scan import ensure_parallelism
+
+    return ensure_parallelism(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +57,7 @@ def _tokens(spark, sf_dir) -> DataFrame:
     full-corpus (doc_id, token) Exchange disappears; consumers now
     aggregate straight off the scan stage."""
     return (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .select(
             "doc_id",
             F.explode(
@@ -81,13 +87,14 @@ def _shingles(spark, sf_dir) -> DataFrame:
     old explode-then-.distinct() plan (doc_id is part of the key), but
     the full-corpus (doc_id, sh) Exchange disappears from every
     consumer (minhash, jaccard verify, contamination)."""
-    return _shingles_of(_docs(spark, sf_dir))
+    return _shingles_of(_docs_par(spark, sf_dir))
 
 
 def _shingles_of(docs: DataFrame) -> DataFrame:
     """Shingles of an arbitrary (doc_id, text) frame — lets callers
     pre-filter docs BEFORE the explode (the candidate-verify stage
-    shingles only LSH-candidate docs instead of the whole corpus)."""
+    shingles only LSH-candidate docs instead of the whole corpus);
+    callers pass a parallelism-guarded doc frame (_docs_par)."""
     return (
         docs
         .withColumn("l", F.split(F.col("text"), " "))
@@ -360,7 +367,7 @@ def q_jaccard_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does not push a semi-join below a Generate).
     shc = _persist_latest(
         _shingles_of(
-            _docs(spark, sf_dir).join(cand_ids, "doc_id", "left_semi")
+            _docs_par(spark, sf_dir).join(cand_ids, "doc_id", "left_semi")
         ),
         "jaccard_cand_shingles",
     )
@@ -666,7 +673,7 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = (
-        docs.select(
+        _docs_par(spark, sf_dir).select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
         )
         .where(F.col("token") != "")
@@ -859,7 +866,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts, one double division with identical operands on both
     engines."""
     return (
-        _docs(spark, sf_dir)
+        _docs_par(spark, sf_dir)
         .withColumn("l", F.split(F.col("text"), " "))
         .where(F.size("l") >= 3)
         .withColumn(
