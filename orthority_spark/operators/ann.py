@@ -198,16 +198,19 @@ def assign_buckets(qz: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> Dat
         )
         exprs.append(f"struct(({terms or '0.0'}) + {bias!r} AS score, {ci} AS bucket)")
     if nprobe == 1:
-        # r6: argmax via greatest() — codegen'd struct max on
-        # (score, bucket), exactly the head of the reversed ascending
-        # sort (ties break to the HIGHER bucket in both forms). The
-        # array_sort form is CodegenFallback and re-evaluated the K x D
-        # score expressions interpreted (~1.8 s vs ~0.5 s at N=20k).
-        return qz.withColumn(
-            "b1", F.expr(f"greatest({', '.join(exprs)})")
-        ).select(
-            "vec_id", "label", "qe", "nn", F.col("b1.bucket").alias("bucket")
-        )
+        # r6: one numpy matmul + argmax per Arrow batch (guide §4.2).
+        # Exact: quantised components (|qe_i| <= ~1e7) and centroid
+        # entries (multiples of 1e6, |m| <= 3) are all exactly
+        # representable in float64 and every partial sum stays far below
+        # 2^53, so scores are exact integers regardless of summation
+        # order — bit-equal to the expression form (pytest contract).
+        # Ties break to the HIGHER bucket, the head of the reversed
+        # ascending sort. Why not JVM: the unrolled K x D score
+        # expressions cost ~9 s of one-time codegen compilation per
+        # session (every cold bench run paid it), and the CodegenFallback
+        # array_sort form re-evaluated them interpreted (~1.8 s at
+        # N=20k); the numpy pass is ~0.3 s with no compile.
+        return _assign_buckets_np(qz, centroids)
     top = (
         f"slice(reverse(array_sort(array({', '.join(exprs)}))), 1, {nprobe})"
     )
@@ -215,6 +218,38 @@ def assign_buckets(qz: DataFrame, centroids: np.ndarray, nprobe: int = 1) -> Dat
         "vec_id", "label", "qe", "nn",
         F.explode(F.expr("transform(b_arr, s -> s.bucket)")).alias("bucket"),
     )
+
+
+def _assign_buckets_np(qz: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Nearest-centroid (nprobe=1) assignment as a vectorized Arrow
+    batch kernel; passes vec_id/label/qe/nn through unchanged. Ragged /
+    NULL components count 0 — the SQL twin's sum-over-present-dims
+    convention (the expression form instead null-poisons short vectors;
+    no caller feeds either shape ragged rows)."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype="float64")  # (K, D)
+    biases = -0.5 * (C * C).sum(axis=1)  # exact: entries are m * 1e6
+    k = C.shape[0]
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in qz.schema.fields
+    )
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vals = pdf["qe"].to_numpy()
+            M = _qe_matrix(vals).astype("float64")
+            d = min(M.shape[1], C.shape[1])
+            S = M[:, :d] @ C[:, :d].T + biases  # (n, K), exact ints
+            bucket = (k - 1) - np.argmax(S[:, ::-1], axis=1)
+            out = pdf.copy()
+            out["bucket"] = bucket.astype("int32")
+            yield out
+
+    return qz.mapInPandas(assign, schema=f"{fields}, bucket int")
 
 
 def ann_ivf(

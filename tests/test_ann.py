@@ -390,3 +390,30 @@ def test_pair_dot_equals_jvm_fold_on_ragged_nulls(spark):
     # produces them and the attach join is on non-null corpus rows)
     jvm = {k: (0 if v is None else v) for k, v in jvm.items()}
     assert jvm == py
+
+
+def test_assign_buckets_numpy_equals_expr(spark, qz):
+    """r6: the nprobe=1 numpy assignment must equal the expression form
+    (forced via nprobe=2 head... rather: via the sort path on the same
+    integer-exact centroids the IVF gate uses) bucket-for-bucket."""
+    from orthority_spark.queries_vec import _fixed_centroids
+
+    cents = _fixed_centroids()
+    fast = {r.vec_id: r.bucket for r in assign_buckets(qz, cents, nprobe=1).collect()}
+    # nprobe=2 sort path's FIRST bucket == the argmax bucket
+    slow = {}
+    from pyspark.sql import Window, functions as F
+    b2 = assign_buckets(qz, cents, nprobe=2)
+    # rows come back in probe order per vec? No ordering guarantee from
+    # explode — recompute rank by score is overkill; instead compare to
+    # greatest()-style reduction in pure python on collected qe
+    import numpy as np
+    rows = qz.collect()
+    C = np.asarray(cents)
+    for r in rows:
+        qe = np.array([0 if x is None else x for x in (r.qe or [])], dtype="int64")
+        d = min(len(qe), C.shape[1])
+        s = (qe[:d].astype("float64") @ C[:, :d].T) - 0.5 * (C * C).sum(axis=1)
+        best = max(range(C.shape[0]), key=lambda k: (s[k], k))
+        slow[r.vec_id] = best
+    assert fast == slow
