@@ -185,24 +185,24 @@ def _sample_dem_z_broadcast(
     }
     bc = points.sparkSession.sparkContext.broadcast(blocks)
 
-    def gather(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gather(it):
+        import pyarrow as pa
+
         tiles = bc.value
-        for pdf in it:
-            if not len(pdf):
+        for b in it:
+            if not b.num_rows:
                 continue
-            px = pdf["px"].to_numpy(dtype="float64")
-            py = pdf["py"].to_numpy(dtype="float64")
+            px = b.column(1).to_numpy(zero_copy_only=False)
+            py = b.column(2).to_numpy(zero_copy_only=False)
             gcol = np.floor((px - c) / a)
             grow = np.floor((py - f0) / e)
             m = (gcol >= 0) & (gcol < ncols) & (grow >= 0) & (grow < nrows)
             if not m.any():
-                yield pd.DataFrame(
-                    {"url": pd.Series(dtype="object"),
-                     "z": pd.Series(dtype="float64")}
-                )
                 continue
             px, py = px[m], py[m]
-            urls = pdf["url"].to_numpy()[m]
+            # r6: the url strings stay an Arrow buffer end to end
+            # (filter is an offsets-level op) — no pandas object arrays
+            urls = b.column(0).filter(pa.array(m))
             gci = gcol[m].astype("int64")
             gri = grow[m].astype("int64")
             col_off = gci - gci % tile
@@ -232,9 +232,12 @@ def _sample_dem_z_broadcast(
                 ci = np.clip(np.floor(fc + 0.5).astype("int64"), 0, w - 1)
                 ri = np.clip(np.floor(fr + 0.5).astype("int64"), 0, h - 1)
                 z[sel] = np.where(interior, z_bi, blk[ri, ci])
-            yield pd.DataFrame({"url": urls, "z": z})
+            yield pa.RecordBatch.from_arrays(
+                [urls, pa.array(z, type=pa.float64(), from_pandas=True)],
+                names=["url", "z"],
+            )
 
-    return points.select("url", "px", "py").mapInPandas(
+    return points.select("url", "px", "py").mapInArrow(
         gather, schema="url string, z double"
     )
 

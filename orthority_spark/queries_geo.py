@@ -306,20 +306,29 @@ def o_rollup_pyramid() -> str:
 
 
 def q_world_to_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-camera world->pixel projection (P1) as an Arrow pandas UDF.
+    """Frame-camera world->pixel projection (P1) as an Arrow batch kernel.
 
     Projects every page's world point into img_0000's pinhole camera; the
     oracle unrolls the identical R^T(x-T) matmul + K as SQL arithmetic.
+
+    r6: mapInArrow instead of mapInPandas — the url string column passes
+    through the Python boundary as the original Arrow buffer (zero-copy
+    both ways) instead of being materialised twice as a pandas object
+    array; px/py arrive as float64 numpy views (nulls -> NaN, exactly the
+    pandas conversion) and j/i go back with from_pandas=True so NaN maps
+    to NULL precisely like the old pandas output path.
     """
-    import pandas as pd
+    import pyarrow as pa
 
     m = fp.fixture_models()["img_0000"]
     R, T, K = m.R, m.T, m.K
 
     def project(batches):
-        for pdf in batches:
-            x = pdf["px"].to_numpy(dtype="float64") - T[0, 0]
-            y = pdf["py"].to_numpy(dtype="float64") - T[1, 0]
+        for b in batches:
+            if not b.num_rows:
+                continue
+            x = b.column(1).to_numpy(zero_copy_only=False) - T[0, 0]
+            y = b.column(2).to_numpy(zero_copy_only=False) - T[1, 0]
             z = np.float64(config.DEM_Z) - T[2, 0]
             # explicit left-to-right expressions — same rounding as SQL twin
             cx = R[0, 0] * x + R[1, 0] * y + R[2, 0] * z
@@ -327,10 +336,17 @@ def q_world_to_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cz = R[0, 2] * x + R[1, 2] * y + R[2, 2] * z
             j = K[0, 0] * (cx / cz) + K[0, 2]
             i = K[1, 1] * (cy / cz) + K[1, 2]
-            yield pd.DataFrame({"url": pdf["url"], "j": j, "i": i})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(j, type=pa.float64(), from_pandas=True),
+                    pa.array(i, type=pa.float64(), from_pandas=True),
+                ],
+                names=["url", "j", "i"],
+            )
 
     pc = pages_cells(spark, sf_dir).select("url", "px", "py")
-    return pc.mapInPandas(project, schema="url string, j double, i double")
+    return pc.mapInArrow(project, schema="url string, j double, i double")
 
 
 def _wtp_exprs() -> tuple[str, str]:

@@ -247,26 +247,66 @@ def _lsh_sign(band: int, t: int, i: int) -> int:
     return d * had
 
 
+def _qe_matrix_arrow(qe, dim: int) -> "np.ndarray":
+    """Arrow ``list<int64>`` column -> dense (n, dim) int64 matrix.
+
+    Fast path (rectangular, NULL-free lists): a zero-copy reshape of the
+    list column's values buffer — no per-row Python objects at all.
+    Fallback (ragged / NULL rows / NULL elements): zero-pad per row, NULL
+    counts 0 — exactly the zip_with/coalesce convention shared with
+    ``_DOT`` and the expression twin."""
+    import numpy as np
+
+    n = len(qe)
+    offs = qe.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    if (
+        qe.null_count == 0
+        and qe.values.null_count == 0
+        and bool((lens == dim).all())
+    ):
+        vals = qe.values.to_numpy(zero_copy_only=True)
+        return np.ascontiguousarray(
+            vals[offs[0]: offs[0] + n * dim]
+            .astype(np.int64, copy=False)
+            .reshape(n, dim)
+        )
+    M = np.zeros((n, dim), dtype=np.int64)
+    for i, v in enumerate(qe.to_pylist()):
+        if v is None:
+            continue
+        a = np.asarray(
+            [0 if x is None else int(x) for x in v], dtype=np.int64
+        )
+        M[i, : len(a)] = a
+    return M
+
+
 def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
-    """vec_id/qe/nn replicated into LSH_BANDS rows of (band, key): key =
-    sum over the band's r planes of (d_j > 0) << bit.
+    """vec_id replicated into LSH_BANDS rows of (band, key): key = sum
+    over the band's r planes of (d_j > 0) << bit.
 
     r6: the projections run as ONE exact int64 numpy matmul per Arrow
-    batch inside mapInPandas (guide §4.2) — the r5 JVM-expression form
-    evaluated B*r interpreted aggregate(zip_with) lambdas per row
-    (~B*r*dim interpreted steps; 4.9 s per side at N=20k, r=10 vs ~0.6 s
-    for the numpy pass). Still no shuffle; qe/nn pass through the batch
-    so the downstream band equi-join + scoring plan is unchanged.
-    Exactness: |qe_i| <= ~1e7 and dim <= 64 keep every dot inside int64
-    (and far inside float64's 2^53), so numpy int64 matmul reproduces
-    the lambda fold bit-for-bit; the pytest contract asserts equality
-    against the expression twin below on ragged/null inputs too.
+    batch (guide §4.2) — the r5 JVM-expression form evaluated B*r
+    interpreted aggregate(zip_with) lambdas per row (~B*r*dim interpreted
+    steps; 4.9 s per side at N=20k, r=10 vs ~0.6 s for the numpy pass) —
+    and the batches cross the boundary as ``mapInArrow`` record batches:
+    the qe list column is consumed by a zero-copy values-buffer reshape
+    (``_qe_matrix_arrow``) instead of a pandas object-list Series, and
+    ONLY (vec_id, band, key) rows come back (the sole consumer dropped
+    qe/nn anyway, so the old passthrough serialized two 64-element
+    arrays per output row just to discard them — guide §4.1 "pass only
+    the columns the function needs" applies to output too). Still no
+    shuffle. Exactness: |qe_i| <= ~1e7 and dim <= 64 keep every dot
+    inside int64, so the numpy matmul reproduces the lambda fold
+    bit-for-bit; the pytest contract asserts equality against the
+    expression twin below on ragged/null inputs too.
 
     ``dim`` is the corpus MAX dimension; shorter vectors are zero-padded
     (sign * 0 contributes nothing — identical to summing their own
     dims), and NULL elements count 0, both matching the DuckDB twin."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     S = np.array(
         [
@@ -278,34 +318,11 @@ def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
     shifts = np.arange(r, dtype=np.int64)
 
     def keys(it):
-        for pdf in it:
-            n = len(pdf)
+        for batch in it:
+            n = batch.num_rows
             if not n:
                 continue
-            vals = pdf["qe"].to_numpy()
-            M = np.zeros((n, dim), dtype=np.int64)
-            try:
-                M[:, :] = np.stack(
-                    [np.asarray(v, dtype=np.int64) for v in vals]
-                )
-            except (TypeError, ValueError):
-                # ragged lengths or NULL elements (None in object arrays,
-                # NaN in float arrays): pad/zero per row. The float64
-                # detour is exact — |qe_i| <= ~1e7 << 2^53.
-                for i, v in enumerate(vals):
-                    if v is None:
-                        continue
-                    a = np.asarray(v)
-                    if a.dtype == object:
-                        a = np.asarray(
-                            [0 if x is None else int(x) for x in a],
-                            dtype=np.int64,
-                        )
-                    elif a.dtype.kind == "f":
-                        a = np.where(np.isnan(a), 0.0, a).astype(np.int64)
-                    else:
-                        a = a.astype(np.int64)
-                    M[i, : len(a)] = a
+            M = _qe_matrix_arrow(batch.column(1), dim)
             D = M @ S.T  # (n, B*r), exact int64
             bits = D > 0
             keys_by_band = np.column_stack(
@@ -316,20 +333,25 @@ def _band_keys_df(qz: DataFrame, r: int, dim: int) -> DataFrame:
                     for b in range(LSH_BANDS)
                 ]
             )
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_BANDS),
-                    "qe": np.repeat(vals, LSH_BANDS),
-                    "nn": np.repeat(pdf["nn"].to_numpy(), LSH_BANDS),
-                    "band": np.tile(
-                        np.arange(LSH_BANDS, dtype=np.int32), n
+            vid = batch.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.repeat(vid, LSH_BANDS),
+                        type=pa.int64(),
+                        from_pandas=True,
                     ),
-                    "key": keys_by_band.ravel(),
-                }
+                    pa.array(
+                        np.tile(np.arange(LSH_BANDS, dtype=np.int32), n),
+                        type=pa.int32(),
+                    ),
+                    pa.array(keys_by_band.ravel(), type=pa.int64()),
+                ],
+                names=["vec_id", "band", "key"],
             )
 
-    return qz.select("vec_id", "qe", "nn").mapInPandas(
-        keys, schema="vec_id bigint, qe array<bigint>, nn bigint, band int, key bigint"
+    return qz.select("vec_id", "qe").mapInArrow(
+        keys, schema="vec_id bigint, band int, key bigint"
     )
 
 
@@ -390,29 +412,64 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     design; recall vs the all-pairs scan and the occupancy bound are
     pytest contracts (tests/test_ann.py)."""
     from .operators.ann import pair_dot
+    from .sources.scan import parallel_read
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
-    ).first()
-    if not stats.n:  # empty corpus: no pairs (and no max-dim to project)
+    # r6 plan: the band self-join carries ONLY (vec_id, band, key) — 24
+    # bytes/row instead of two 64-element qe arrays per candidate.
+    # Broadcast-scored path (guarded, ATTACH_BROADCAST_MAX_ROWS budget):
+    # the RAW float corpus is collected ONCE as Arrow (one job — it also
+    # supplies the row count and max dim, so the old stats agg job
+    # disappears), quantised in numpy (bit-exact _QUANT twin), and one
+    # mapInArrow pass over the bare (vec_a, vec_b) id pairs gathers both
+    # matrix rows, takes the exact int64 dot and emits the survivors —
+    # the two JVM broadcast joins that re-attached a 64-element array to
+    # EACH side of EVERY candidate pair (and shipped them all through
+    # the Arrow boundary for pair_dot) disappear, and the pair dedup
+    # moves AFTER the tau filter (identical unique pairs — cosine is a
+    # pure function of the pair — but the dedup Exchange now carries the
+    # ~handful of survivors instead of every candidate). Past the guard:
+    # dedup-before-score + unhinted equi-join + pair_dot, one score per
+    # unique pair. The r5 score-first shape computed the interpreted
+    # zip_with fold up to B times per pair and broadcast the full
+    # qe-carrying band table: 19.3 s -> 3.9 s at sf1.0 local[32]; the
+    # matrix-gather scorer removes the remaining per-pair attach cost.
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb_raw.count()  # columnless scan — cheaper than the old full agg
+    if not n:  # empty corpus: no pairs (and no max-dim to project)
         return spark.createDataFrame(
             [], "vec_a bigint, vec_b bigint, cosine double"
         )
-    r = lsh_r_bits(stats.n)
+    r = lsh_r_bits(n)
+    if n <= ATTACH_BROADCAST_MAX_ROWS:
+        import numpy as np
+
+        tbl = emb_raw.select("vec_id", "embedding").toArrow()
+        ids = (
+            tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ecol = tbl.column("embedding").combine_chunks()
+        d = int(np.diff(ecol.offsets.to_numpy(zero_copy_only=False)).max(
+            initial=0))
+        M = _quantize_matrix_arrow(ecol, d)
+        bk = _band_keys_raw(
+            parallel_read(spark, f"{sf_dir}/embeddings.parquet"), r, d
+        )
+        a, b = bk.alias("a"), bk.alias("b")
+        pairs = (
+            a.join(b, ["band", "key"])
+            .where(F.expr("a.vec_id < b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+        )
+        return _score_pairs_broadcast(pairs, ids, M).dropDuplicates(
+            ["vec_a", "vec_b"]
+        )
+    stats = emb_raw.agg(F.max(F.size("embedding")).alias("d")).first()
     qz = _quantized(spark, sf_dir)
-    # r6 plan: the band self-join carries ONLY (vec_id, band, key) — 24
-    # bytes/row instead of two 64-element qe arrays per candidate — then
-    # pairs dedup on 16-byte id rows BEFORE scoring (each unique pair is
-    # scored once, not once per shared band), and qe/nn re-attach via a
-    # broadcast of the quantised corpus (guarded; a catalog past the
-    # guard re-attaches with an unhinted equi-join — still one score per
-    # unique pair). Scoring is the Arrow-vectorized exact int64 dot
-    # (operators/ann.pair_dot); cosine stays the identical JVM float
-    # expression. The r5 score-first shape computed the interpreted
-    # zip_with fold up to B times per pair and broadcast the full
-    # qe-carrying band table: 19.3 s -> 3.9 s at sf1.0 local[32].
-    bk = _band_keys_df(qz, r, stats.d).select("vec_id", "band", "key")
+    bk = _band_keys_df(qz, r, stats.d)
     a, b = bk.alias("a"), bk.alias("b")
     pairs = (
         a.join(b, ["band", "key"])
@@ -432,8 +489,6 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("qe").alias("qeb"),
         F.col("nn").alias("nnb"),
     )
-    if stats.n <= ATTACH_BROADCAST_MAX_ROWS:
-        qza, qzb = F.broadcast(qza), F.broadcast(qzb)
     dot = pair_dot()
     return (
         pairs.join(qza, "vec_a")
@@ -446,6 +501,146 @@ def q_embedding_neardups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .where(F.col("cosine") >= NEARDUP_TAU)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _quantize_matrix_arrow(ecol, dim: int) -> "np.ndarray":
+    """Arrow ``list<float>`` embeddings -> dense (n, dim) int64 quantised
+    matrix — the bit-exact numpy twin of ``_QUANT``: float32 -> float64
+    is exact, the * 1e6 double product rounds identically, floor and the
+    BIGINT cast match np.floor + int64. Ragged rows zero-pad and NULL
+    rows/elements count 0 (a NULL element quantises to NULL and every
+    consumer counts NULL as 0, so materialising the 0 directly is
+    identical)."""
+    import numpy as np
+
+    n = len(ecol)
+    offs = ecol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    if (
+        ecol.null_count == 0
+        and ecol.values.null_count == 0
+        and bool((lens == dim).all())
+    ):
+        vals = ecol.values.to_numpy(zero_copy_only=True)
+        V = vals[offs[0]: offs[0] + n * dim].astype(np.float64).reshape(
+            n, dim
+        )
+        return np.floor(V * 1e6).astype(np.int64)
+    M = np.zeros((n, dim), dtype=np.int64)
+    for i, v in enumerate(ecol.to_pylist()):
+        if v is None:
+            continue
+        a = np.asarray(
+            [0.0 if x is None else float(x) for x in v], dtype=np.float64
+        )
+        M[i, : len(a)] = np.floor(a * 1e6).astype(np.int64)
+    return M
+
+
+def _band_keys_raw(emb: DataFrame, r: int, dim: int) -> DataFrame:
+    """(vec_id, band, key) straight from the RAW float embedding column:
+    quantisation (the exact ``_QUANT`` twin) and the sign projections run
+    in one numpy pass per Arrow batch — the interpreted per-element
+    transform() lambda never executes on the band side."""
+    import numpy as np
+    import pyarrow as pa
+
+    S = np.array(
+        [
+            [_lsh_sign(j // r, j % r, i) for i in range(1, dim + 1)]
+            for j in range(LSH_BANDS * r)
+        ],
+        dtype=np.int64,
+    )
+    shifts = np.arange(r, dtype=np.int64)
+
+    def keys(it):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            M = _quantize_matrix_arrow(batch.column(1), dim)
+            D = M @ S.T  # (n, B*r), exact int64
+            bits = D > 0
+            keys_by_band = np.column_stack(
+                [
+                    (bits[:, b * r:(b + 1) * r].astype(np.int64) << shifts).sum(
+                        axis=1
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+            vid = batch.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.repeat(vid, LSH_BANDS),
+                        type=pa.int64(),
+                        from_pandas=True,
+                    ),
+                    pa.array(
+                        np.tile(np.arange(LSH_BANDS, dtype=np.int32), n),
+                        type=pa.int32(),
+                    ),
+                    pa.array(keys_by_band.ravel(), type=pa.int64()),
+                ],
+                names=["vec_id", "band", "key"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        keys, schema="vec_id bigint, band int, key bigint"
+    )
+
+
+def _score_pairs_broadcast(
+    pairs: DataFrame, ids: "np.ndarray", M: "np.ndarray"
+) -> DataFrame:
+    """Score (vec_a, vec_b) candidate pairs against a broadcast
+    id-indexed numpy matrix of the quantised corpus (guide §8: decide on
+    id pairs, gather the heavy arrays exactly once).
+
+    Bit-equality with the join/pair_dot twin: the dot is the same exact
+    int64 einsum (|qe_i| <= ~1e7, dim <= 64 keeps |dot| < 2^53, so the
+    int64->float64 promotion in the division is exact); cosine applies
+    the identical op sequence dot / (sqrt(nn_a) * sqrt(nn_b)) on
+    identical doubles; and the tau filter keeps NaN (`~(cos < tau)`)
+    because both Spark and DuckDB order NaN above every double, so a
+    degenerate all-zero vector pair survives in all three engines.
+    nn is recomputed as the exact row self-dot — identical to the
+    aggregate() fold (same int64 sums, NULL counts 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    order = np.argsort(ids, kind="stable")
+    ids_s, M_s = ids[order], np.ascontiguousarray(M[order])
+    sq = np.sqrt(np.einsum("ij,ij->i", M_s, M_s).astype(np.float64))
+    bc = pairs.sparkSession.sparkContext.broadcast((ids_s, M_s, sq))
+
+    def score(it):
+        ids_b, M_b, sq_b = bc.value
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            va = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            vb = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(ids_b, va)
+            ib = np.searchsorted(ids_b, vb)
+            dots = np.einsum("ij,ij->i", M_b[ia], M_b[ib])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (sq_b[ia] * sq_b[ib])
+            keep = ~(cos < NEARDUP_TAU)  # NaN survives, as in SQL
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(va[keep], type=pa.int64()),
+                    pa.array(vb[keep], type=pa.int64()),
+                    pa.array(cos[keep], type=pa.float64()),
+                ],
+                names=["vec_a", "vec_b", "cosine"],
+            )
+
+    return pairs.mapInArrow(
+        score, schema="vec_a bigint, vec_b bigint, cosine double"
     )
 
 
