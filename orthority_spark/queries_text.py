@@ -656,18 +656,26 @@ def o_doc_fingerprint() -> str:
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index relevance: per-doc top-5 TF-IDF terms.
 
-    r6 plan: ONE scan — tf is a partial-aggregated groupBy(doc, token);
-    df rides the tf table as count(*) over a token-partitioned window
-    (df = number of tf rows per token, exactly the old groupBy(token)
-    count); ranking is one window per doc. The r5 shape computed the
-    whole scan+explode+tf subtree a SECOND time under the df aggregate
-    (runtime exchange reuse never fired for the broadcast-side twin) —
-    3.6 s vs 2.0 s at sf1.0. Caveat for Zipfian corpora: the df window
-    puts one hot token's tf rows in one partition; past that scale,
-    materialize tf (it is the inverted index, normally persisted anyway)
-    and broadcast the df aggregate instead — both shapes measured, the
-    cache barrier loses at every sandbox size. The idf float is absorbed
-    to float32 so both engines rank on identical keys (ties broken by
+    r6 plan: tf is a partial-aggregated groupBy(doc, token); df comes
+    from its own lightweight subtree — explode(array_distinct(tokens))
+    into a partial-aggregated groupBy(token) count (identical to
+    counting tf rows per token: tf holds one row per distinct
+    (doc, token)) — and joins back onto tf unhinted, so AQE sees the
+    tiny aggregated side at runtime and broadcasts it (no hint = no
+    wrong forced strategy when the vocabulary is huge); ranking is one
+    window per doc. Two shapes this replaces, both measured: the r5
+    twin computed the whole scan+explode+tf subtree a SECOND time under
+    the df aggregate (runtime exchange reuse never fired across the
+    broadcast boundary; 3.6 s at sf1.0), and the intermediate r6 shape
+    rode df on tf as count(*) over a token-partitioned window — but a
+    word-salad corpus (driver fixture: ~31 distinct tokens at EVERY sf)
+    funnels the whole tf table through a handful of hot token
+    partitions, i.e. the Zipfian hazard its own docstring warned about
+    (2.8 s warm at the 10x fixture vs 1.8 s for this plan; the df
+    subtree adds one cheap scan that runs concurrently). Materialising
+    tf instead loses to the cache barrier at every sandbox size (3.86 s,
+    consistent with the r5 jaccard A/B). The idf float is absorbed to
+    float32 so both engines rank on identical keys (ties broken by
     token)."""
     from pyspark.sql import Window
 
@@ -680,10 +688,13 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = (
+        _tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
+        tf.join(df_tbl, "token")
         .crossJoin(F.broadcast(ndf))
         .withColumn(
             "tfidf",

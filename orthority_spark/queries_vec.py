@@ -56,23 +56,100 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.ann import _DOT  # noqa: E402
 
 
+def _query_matrix(spark: SparkSession, sf_dir: str):
+    """(q_ids, Mq, sqq): the N_QUERIES query vectors collected once and
+    quantised in numpy (exact _QUANT twin); Mq/sqq are None when the
+    query set is empty."""
+    import numpy as np
+
+    qt = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toArrow()
+    )
+    q_ids = (
+        qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    if not len(q_ids):
+        return q_ids, None, None
+    qcol = qt.column("embedding").combine_chunks()
+    dq = int(
+        np.diff(qcol.offsets.to_numpy(zero_copy_only=False)).max(initial=0)
+    )
+    Mq = _quantize_matrix_arrow(qcol, max(dq, 1))
+    sqq = np.sqrt(np.einsum("ij,ij->i", Mq, Mq).astype(np.float64))
+    return q_ids, Mq, sqq
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: query set broadcast against all vectors."""
-    qz = _quantized(spark, sf_dir)
-    queries = qz.where(F.col("vec_id") < N_QUERIES).alias("a")
-    corpus = qz.alias("b")
+    """Brute-force cosine top-k: query set against all vectors.
+
+    r6 plan: the 10 query vectors are collected once (numpy-quantised,
+    exact _QUANT twin) and ONE mapInArrow pass over the raw corpus scan
+    computes every (query, vector) exact int64 dot as a single matmul
+    per batch — replacing the broadcast nest-loop join whose _DOT
+    evaluated an interpreted 64-step fold per pair (N * Q folds) plus
+    the interpreted _QUANT/nn corpus transforms. Arithmetic is
+    bit-identical (same int64 sums, same cosine op sequence); the only
+    divergence is the degenerate NULL-embedding row, where the fold
+    yields NULL and the kernel 0-pads — the same normalisation the
+    pair_dot contract documents, and no fixture carries NULL
+    embeddings. Per-query rank window unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .sources.scan import parallel_read
+
+    q_ids, Mq, sqq = _query_matrix(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((q_ids, Mq, sqq))
+
+    def score_all(it):
+        q_ids_b, Mq_b, sqq_b = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if not n or Mq_b is None:
+                continue
+            vid = (
+                batch.column(0).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            offs = batch.column(1).offsets.to_numpy(zero_copy_only=False)
+            w = int(np.diff(offs).max(initial=0))
+            M = _quantize_matrix_arrow(batch.column(1), max(w, 1))
+            sqc = np.sqrt(np.einsum("ij,ij->i", M, M).astype(np.float64))
+            m = min(M.shape[1], Mq_b.shape[1])
+            dots = M[:, :m] @ Mq_b[:, :m].T  # (n, Q) exact int64
+            qid_out, nid_out, cos_out = [], [], []
+            for qi in range(len(q_ids_b)):
+                sel = vid != q_ids_b[qi]
+                if not sel.any():
+                    continue
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots[sel, qi] / (sqq_b[qi] * sqc[sel])
+                qid_out.append(
+                    np.full(int(sel.sum()), q_ids_b[qi], dtype=np.int64)
+                )
+                nid_out.append(vid[sel])
+                cos_out.append(cos)
+            if not qid_out:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(qid_out), type=pa.int64()),
+                    pa.array(np.concatenate(nid_out), type=pa.int64()),
+                    # plain pa.array: NaN stays NaN, as in the JVM twin
+                    pa.array(np.concatenate(cos_out), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
     scored = (
-        corpus.join(F.broadcast(queries), F.expr("a.vec_id != b.vec_id"))
-        .withColumn("dot", F.expr(_DOT))
-        .withColumn(
-            "cosine",
-            F.col("dot")
-            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
-        )
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            "cosine",
+        parallel_read(spark, f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .mapInArrow(
+            score_all,
+            schema="query_id bigint, neighbor_id bigint, cosine double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -634,6 +711,8 @@ def _score_pairs_broadcast(
                 [
                     pa.array(va[keep], type=pa.int64()),
                     pa.array(vb[keep], type=pa.int64()),
+                    # plain pa.array: a NaN cosine stays NaN (the JVM
+                    # twin's double), NOT null
                     pa.array(cos[keep], type=pa.float64()),
                 ],
                 names=["vec_a", "vec_b", "cosine"],
@@ -718,30 +797,101 @@ def _fixed_centroids() -> "np.ndarray":
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k SEARCH, oracle-gated: corpus vectors live in their
     nearest fixed centroid's bucket, queries probe their top-2 buckets,
-    candidates come from the bucket equi-join (never a cross product),
-    exact integer-cosine ranks the survivors."""
-    from .operators.ann import assign_buckets
+    candidates come from the bucket match (never a cross product), exact
+    integer-cosine ranks the survivors.
 
-    cents = _fixed_centroids()
-    qz = _quantized(spark, sf_dir)
-    corpus = assign_buckets(qz, cents, nprobe=1).alias("b")
-    queries = assign_buckets(
-        qz.where(F.col("vec_id") < N_QUERIES), cents, nprobe=2
-    ).alias("a")
-    cand = corpus.join(F.broadcast(queries), "bucket").where(
-        F.expr("a.vec_id != b.vec_id")
-    )
+    r6 plan: the query set is N_QUERIES = 10 rows — its embeddings are
+    collected once and the probe assignment is computed on the driver
+    (numpy twin of the nprobe=2 sort expression: buckets ordered by
+    (score DESC, bucket DESC), the reverse of the ascending
+    (score, bucket) struct sort, exact because every score is an
+    integer-valued double below 2^53); then ONE mapInArrow pass over the
+    raw corpus scan quantises (exact _QUANT twin), assigns (the
+    _assign_buckets_np matmul+argmax, ties to the higher bucket),
+    matches the <= 2 * N_QUERIES probe entries and emits
+    (query_id, neighbor_id, cosine) directly. This replaces: the
+    interpreted _QUANT transform and nn fold on the corpus, the pandas
+    list-column boundary of the corpus assign kernel, the broadcast
+    bucket join, and the per-candidate interpreted _DOT fold — with
+    bit-identical arithmetic (int64 dots; cosine is the same
+    dot / (sqrt(nn_a) * sqrt(nn_b)) op sequence; NaN rows flow through
+    unfiltered exactly as in the JVM plan). Nothing corpus-sized is ever
+    collected or broadcast, so the shape holds at any corpus size;
+    dedup + the per-query rank window are unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .sources.scan import parallel_read
+
+    cents = _fixed_centroids()  # (K, D) float64, exact 1e6 multiples
+    biases = -0.5 * (cents * cents).sum(axis=1)
+    k_cent, d_cent = cents.shape
+
+    q_ids, Mq, sqq = _query_matrix(spark, sf_dir)
+    probes: list[tuple[int, int]] = []  # (query index, probed bucket)
+    if len(q_ids):
+        dmin = min(Mq.shape[1], d_cent)
+        Sq = Mq[:, :dmin].astype(np.float64) @ cents[:, :dmin].T + biases
+        for qi in range(len(q_ids)):
+            # reverse of ascending (score, bucket): score DESC, bucket DESC
+            order = sorted(
+                range(k_cent), key=lambda b: (Sq[qi, b], b), reverse=True
+            )
+            probes.extend((qi, b) for b in order[:2])
+    bc = spark.sparkContext.broadcast((q_ids, Mq, sqq, probes))
+
+    def search(it):
+        q_ids_b, Mq_b, sqq_b, probes_b = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if not n or not probes_b:
+                continue
+            vid = (
+                batch.column(0).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            offs = batch.column(1).offsets.to_numpy(zero_copy_only=False)
+            w = int(np.diff(offs).max(initial=0))
+            M = _quantize_matrix_arrow(batch.column(1), max(w, 1))
+            d = min(M.shape[1], d_cent)
+            S = M[:, :d].astype(np.float64) @ cents[:, :d].T + biases
+            bucket = (k_cent - 1) - np.argmax(S[:, ::-1], axis=1)
+            sqc = np.sqrt(
+                np.einsum("ij,ij->i", M, M).astype(np.float64)
+            )
+            m = min(M.shape[1], Mq_b.shape[1])
+            qid_out, nid_out, cos_out = [], [], []
+            for qi, b in probes_b:
+                sel = (bucket == b) & (vid != q_ids_b[qi])
+                if not sel.any():
+                    continue
+                dots = M[sel][:, :m] @ Mq_b[qi, :m]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (sqq_b[qi] * sqc[sel])
+                qid_out.append(
+                    np.full(int(sel.sum()), q_ids_b[qi], dtype=np.int64)
+                )
+                nid_out.append(vid[sel])
+                cos_out.append(cos)
+            if not qid_out:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(qid_out), type=pa.int64()),
+                    pa.array(np.concatenate(nid_out), type=pa.int64()),
+                    # plain pa.array: a NaN cosine stays NaN (the JVM
+                    # twin's double), NOT null
+                    pa.array(np.concatenate(cos_out), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
     scored = (
-        cand.withColumn("dot", F.expr(_DOT))
-        .withColumn(
-            "cosine",
-            F.col("dot")
-            / (F.sqrt(F.col("a.nn").cast("double")) * F.sqrt(F.col("b.nn").cast("double"))),
-        )
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            "cosine",
+        parallel_read(spark, f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .mapInArrow(
+            search,
+            schema="query_id bigint, neighbor_id bigint, cosine double",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
