@@ -789,15 +789,23 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the eval shingle set is tiny and BROADCASTS; the
     training side explodes shingles and left-semi joins map-side, so no
-    shuffle of the corpus ever happens; per-doc hit counts partial-agg."""
-    sh = _shingles(spark, sf_dir)
+    shuffle of the corpus ever happens; per-doc hit counts partial-agg.
+
+    r6: the eval-side doc filter applies BEFORE shingling — filtering
+    the post-explode frame combined the predicates as
+    (size(split(text)) >= 3) AND (doc_id % 97 = 0), i.e. the generated
+    code split EVERY doc's text before the cheap key test; pre-filtering
+    the doc frame puts doc_id % 97 first in the conjunct order, so the
+    eval side splits only 1/97 of the corpus. Identical rows — the key
+    filter trivially commutes with shingling."""
+    docs = _docs_par(spark, sf_dir)
     ev = (
-        sh.where(F.col("doc_id") % 97 == 0)
+        _shingles_of(docs.where(F.col("doc_id") % 97 == 0))
         .select("sh")
         .distinct()
     )
     return (
-        sh.where(F.col("doc_id") % 97 != 0)
+        _shingles_of(docs.where(F.col("doc_id") % 97 != 0))
         .join(F.broadcast(ev), "sh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
