@@ -357,6 +357,70 @@ def test_band_keys_numpy_equals_expr_on_ragged_nulls(spark):
     assert f2 == s2 and len(f2) == 16
 
 
+def test_band_keys_raw_equals_quantized_path(spark):
+    """r6 pass 2: the raw-float mapInArrow band-key path (quantisation
+    fused into the kernel) must reproduce the qe-based numpy path
+    bit-for-bit — on the fixture AND on ragged/NULL float vectors (the
+    in-kernel floor(x * 1e6) must match the _QUANT expression)."""
+    from orthority_spark.queries_vec import (
+        _band_keys_df, _band_keys_raw, _quantized,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    r, dim = 7, 64
+    raw = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_raw(emb, r, dim).collect()
+    }
+    via_qe = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_df(_quantized(spark, SF), r, dim).collect()
+    }
+    assert raw == via_qe and len(raw) == 4 * emb.count()
+
+    ragged = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 3.0]),
+            (2, [0.5, None, -0.7]),
+            (3, []),
+            (4, [7e-6, 8e-6, 9e-6, 1e-5, 1.1e-5, 1.2e-5]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    from pyspark.sql import functions as F
+
+    from orthority_spark.queries_vec import _QUANT
+
+    ragged_qe = ragged.select("vec_id", F.expr(_QUANT).alias("qe"))
+    f2 = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_raw(ragged, 5, 6).collect()
+    }
+    s2 = {
+        (x.vec_id, x.band, x.key)
+        for x in _band_keys_df(ragged_qe, 5, 6).collect()
+    }
+    assert f2 == s2 and len(f2) == 16
+
+
+def test_score_pairs_broadcast_equals_join_fallback(spark, monkeypatch):
+    """r6 pass 2: the broadcast-matrix mapInArrow pair scorer must give
+    the exact rows of the join + pair_dot fallback (same pairs, same
+    float64 cosines) — forced by shrinking the attach guard to 0."""
+    import orthority_spark.queries_vec as qv
+
+    fast = {
+        (x.vec_a, x.vec_b, x.cosine)
+        for x in qv.q_embedding_neardups_bucketed(spark, SF).collect()
+    }
+    monkeypatch.setattr(qv, "ATTACH_BROADCAST_MAX_ROWS", 0)
+    slow = {
+        (x.vec_a, x.vec_b, x.cosine)
+        for x in qv.q_embedding_neardups_bucketed(spark, SF).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
 def test_pair_dot_equals_jvm_fold_on_ragged_nulls(spark):
     """r6: the Arrow-vectorized pair dot must equal the _DOT zip_with
     fold bit-for-bit, including ragged lengths and NULL elements (both
