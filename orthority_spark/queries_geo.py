@@ -279,21 +279,31 @@ SELECT url, CAST(rank AS INT) AS rank, filename FROM ranked WHERE rank <= 3"""
 
 
 def q_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overview pyramid (S17 -> rollup): page counts at three resolutions."""
+    """Overview pyramid (S17 -> rollup): page counts at three resolutions.
+
+    r6: ONE scan — the per-resolution (res, cell) pairs explode from a
+    struct array computed map-side, then a single partial-aggregated
+    groupBy(res, cell). The old UNION ALL of three per-res aggregates
+    re-ran the whole orders scan + page derivation + geotag parse once
+    PER resolution; groups and counts are identical (each page
+    contributes exactly one row per resolution either way), only the
+    (irrelevant) output row order changes."""
     pc = pages_cells(spark, sf_dir)
-    parts = [
-        pc.select(
-            F.lit(res).alias("res"),
-            grid.cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
-        )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(res).alias("res"),
+                grid.cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+            )
+            for res in config.ROLLUP_RESES
+        ]
+    )
+    return (
+        pc.select(F.explode(structs).alias("rc"))
+        .select(F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"))
         .groupBy("res", "cell")
         .agg(F.count(F.lit(1)).alias("n_pages"))
-        for res in config.ROLLUP_RESES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
 
 
 def o_rollup_pyramid() -> str:
