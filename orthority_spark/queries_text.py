@@ -38,10 +38,12 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers only (shingling, per-token md5, tf explode): the fixture
     file is 1-2 row groups, so unguarded map stages ran on <= 2 of 32
     cores; light scan+agg queries skip the guard (its exchange costs
-    more than it buys there — sources/scan.py)."""
-    from .sources.scan import ensure_parallelism
+    more than it buys there — sources/scan.py). Uses parallel_read so
+    the partition-count probe is memoized per (session, path) — the
+    text family re-probes this path many times per sweep."""
+    from .sources.scan import parallel_read
 
-    return ensure_parallelism(_docs(spark, sf_dir))
+    return parallel_read(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------

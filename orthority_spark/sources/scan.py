@@ -19,6 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: (applicationId, path) -> natural scan partition count. The probe
+#: (`.rdd.getNumPartitions()`) costs a full JVM analysis + RDD
+#: conversion (~0.15 s) per call, and the text/vector gate families
+#: re-probe the same fixture path many times per bench sweep. The file
+#: layout of a path is stable within a session, so one probe per
+#: (session, path) suffices. This memoizes PLAN METADATA (how many
+#: splits a scan yields), never data or results — the guard decision is
+#: a performance choice and both branches are row-identical by
+#: construction.
+_SCAN_PARTITIONS_MEMO: dict[tuple[str, str], int] = {}
+
+
 def ensure_parallelism(
     df: DataFrame, min_partitions: int | None = None
 ) -> DataFrame:
@@ -47,5 +59,14 @@ def parallel_read(
     spark: SparkSession, path: str, min_partitions: int | None = None
 ) -> DataFrame:
     """Parquet read whose map stage has at least ``min_partitions``
-    tasks — :func:`ensure_parallelism` over a parquet scan."""
-    return ensure_parallelism(spark.read.parquet(path), min_partitions)
+    tasks — :func:`ensure_parallelism` over a parquet scan, with the
+    partition-count probe memoized per (session, path)."""
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    df = spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path)
+    n = _SCAN_PARTITIONS_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTITIONS_MEMO[key] = n
+    return df.repartition(min_partitions) if n < min_partitions else df
