@@ -53,10 +53,36 @@ def package_zip(out_path: str | None = None) -> str:
     return out_path
 
 
-def ensure_on_executors(spark) -> None:
-    """addPyFile the package zip once per SparkContext."""
+def ensure_on_executors(spark, validate: bool = True) -> None:
+    """addPyFile the package zip once per SparkContext, then verify the
+    package (and the Arrow-kernel dependencies) actually import inside
+    the executors' Python workers.
+
+    A stale or broken zip should fail HERE, loudly, at session setup —
+    not as an opaque worker crash inside the first Arrow kernel of a
+    real job. The check is one tiny mapInArrow no-op across
+    ``defaultParallelism`` partitions; because workers are pooled
+    (``spark.python.worker.reuse``), it also leaves the Python workers
+    (with numpy/pyarrow and the package imported) warm for whatever
+    kernel runs first — cold-start that otherwise lands on an arbitrary
+    first query."""
     sc = spark.sparkContext
     if getattr(sc, _SENTINEL, False):
         return
     sc.addPyFile(package_zip())
     setattr(sc, _SENTINEL, True)
+    if validate:
+        def _importable(it):
+            import numpy  # noqa: F401 — kernel deps must exist worker-side
+            import pyarrow  # noqa: F401
+
+            import orthority_spark  # noqa: F401 — the shipped zip must import
+
+            yield from it
+
+        n = max(2, sc.defaultParallelism)
+        (
+            spark.range(0, n, 1, n)
+            .mapInArrow(_importable, schema="id bigint")
+            .write.format("noop").mode("overwrite").save()
+        )
